@@ -1,0 +1,404 @@
+"""Graph container and topology freeze.
+
+TPU-native analog of the reference ``Graph<T,S>`` (include/graphite/graph.hpp:30-334)
+plus the per-descriptor device setup (``initialize_optimization``,
+graph.hpp:92-167; ``initialize_device_ids``, factor.hpp:455-524;
+``deactivate_unused_vertices``, graph.hpp:171-210).
+
+Design: all dynamic sparsity discovery happens **once per topology** on the
+host in NumPy (`freeze`), producing
+
+- static metadata (column offsets, block ids, elimination boundary) that jit
+  sees as Python constants — relinearization never retraces, and
+- a `GraphData` pytree of device arrays (indices, masks, observations) that
+  jit sees as ordinary arguments.
+
+Runtime level/fixed changes that the reference handles with `copy_if`
+compaction (active.hpp:24-47) are handled here by *masks* so shapes stay
+static; changing the topology itself (add/remove) means re-freezing — the
+same cost point as the reference's `initialize_optimization`.
+
+Column ordering parity: vertices are sorted by (eliminated, global_id) so
+Schur-eliminated vertices occupy the trailing columns (graph.hpp:109-149);
+`elimination_col` is the scalar column where the eliminated segment starts
+(graph.hpp:134-140).
+
+Fixed / inactive vertices get no Hessian column; their scatter target is a
+"trash" pad region past ``dim_h`` (always ``pad`` wide) and their Jacobian
+blocks are masked to zero — the static-shape equivalent of the reference's
+``is_vertex_active`` guards (active.hpp:18-21).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .factors import MAX_LEVEL, FactorSet, FactorType
+from .precision import FP32_FP32, Precision
+from .vertices import VertexSet, VertexType
+
+
+def is_factor_active(level_byte: np.ndarray, opt_level: int) -> np.ndarray:
+    """Reference ``is_factor_active`` (active.hpp:11-15)."""
+    return ((level_byte & MAX_LEVEL) <= opt_level) & ((level_byte & 0x80) == 0)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class VertexArrays:
+    """Per-vertex-type device arrays."""
+
+    col_offset: jax.Array  # (V,) int32; dim_h for inactive (trash column)
+    active: jax.Array  # (V,) bool
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FactorArrays:
+    """Per-factor-type device arrays."""
+
+    ids: Tuple[jax.Array, ...]  # N arrays of (F,) int32 local vertex indices
+    cols_base: jax.Array  # (F, N) int32 first Hessian column per slot
+    obs: Optional[jax.Array]  # (F, *obs_shape) graph dtype or None
+    data: Optional[jax.Array]
+    precision: Optional[jax.Array]  # (F, E, E) solver dtype; None == identity
+    loss_params: jax.Array  # (F,) graph dtype
+    factor_mask: jax.Array  # (F,) bool — active at frozen level
+    slot_mask: jax.Array  # (F, N) bool — factor_mask & vertex-active per slot
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class GraphData:
+    """The dynamic (pytree) half of a frozen problem."""
+
+    vertices: Dict[str, VertexArrays]
+    factors: Dict[str, FactorArrays]
+
+
+@dataclasses.dataclass(frozen=True)
+class VertexMeta:
+    vtype: VertexType
+    count: int
+    n_active: int
+
+
+@dataclasses.dataclass(frozen=True)
+class FactorMeta:
+    ftype: FactorType
+    count: int
+    n_active: int
+    store_jacobians: bool
+
+
+class Problem:
+    """A frozen, jit-ready optimization problem.
+
+    Static attributes (host ints/NumPy — safe to close over in jit):
+      dim_h: total Hessian dimension (active columns only).
+      pad: width of the trash pad region; internal flat vectors have length
+        ``dim_h + pad``.
+      block_offsets: (n_blocks+1,) int64 — column offset of each Hessian
+        block column, mirroring ``Graph::get_offset_vector`` (graph.hpp:53).
+      block_vertex: per block id, (vertex type name, local index).
+      block_dims: (n_blocks,) int64 tangent dims.
+      elimination_block / elimination_col: first eliminated block / column
+        (== n_blocks / dim_h when nothing is eliminated).
+
+    Dynamic attribute:
+      data: GraphData pytree (device arrays).
+      params0: dict name -> (V, ambient_dim) initial parameters.
+    """
+
+    def __init__(self, meta_v, meta_f, data, params0, *,
+                 dim_h, pad, block_offsets, block_vertex, block_dims,
+                 elimination_block, elimination_col, opt_level,
+                 precision, host):
+        self.vertex_meta: Dict[str, VertexMeta] = meta_v
+        self.factor_meta: Dict[str, FactorMeta] = meta_f
+        self.data: GraphData = data
+        self.params0: Dict[str, jax.Array] = params0
+        self.dim_h: int = dim_h
+        self.pad: int = pad
+        self.block_offsets: np.ndarray = block_offsets
+        self.block_vertex: List[Tuple[str, int]] = block_vertex
+        self.block_dims: np.ndarray = block_dims
+        self.elimination_block: int = elimination_block
+        self.elimination_col: int = elimination_col
+        self.opt_level: int = opt_level
+        self.precision: Precision = precision
+        self.host = host  # host-side NumPy copies of index arrays/masks
+        self._cache: dict = {}
+
+    # number of columns in the flat internal vectors (b, delta_x, diag, ...)
+    @property
+    def dim_x(self) -> int:
+        return self.dim_h + self.pad
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self.block_vertex)
+
+    def get_hessian_dimension(self) -> int:
+        """Reference ``Graph::get_hessian_dimension`` (graph.hpp:47)."""
+        return self.dim_h
+
+    def get_variable_dimension(self, block_index: int) -> int:
+        return int(self.block_offsets[block_index + 1] - self.block_offsets[block_index])
+
+    def get_num_block_columns(self) -> int:
+        return self.n_blocks
+
+    def get_elimination_block_column(self) -> int:
+        return self.elimination_block
+
+    def residual_sizes(self) -> Dict[str, int]:
+        return {
+            name: fm.count * fm.ftype.residual_dim
+            for name, fm in self.factor_meta.items()
+        }
+
+
+@dataclasses.dataclass
+class HostStructure:
+    """NumPy copies of freeze products, used for structure discovery by the
+    Hessian/Schur builders and by tests."""
+
+    vertex_col_offset: Dict[str, np.ndarray]
+    vertex_block_id: Dict[str, np.ndarray]
+    vertex_active: Dict[str, np.ndarray]
+    vertex_fixed: Dict[str, np.ndarray]
+    factor_ids: Dict[str, np.ndarray]  # (F, N) local indices
+    factor_mask: Dict[str, np.ndarray]
+    slot_mask: Dict[str, np.ndarray]
+
+
+class Graph:
+    """Mutable graph-construction container (reference graph.hpp:30-334).
+
+    Vertices and factors are added with user-chosen global ids; `freeze`
+    performs the reference's ``initialize_optimization`` + ``build_structure``
+    work and returns a `Problem`.
+    """
+
+    def __init__(self, precision: Precision = FP32_FP32):
+        self.precision = precision
+        self.vertex_sets: Dict[str, VertexSet] = {}
+        self.factor_sets: Dict[str, FactorSet] = {}
+        self._scale_jacobians = True
+
+    # ---- construction API ------------------------------------------------
+    def add_vertex_set(self, vtype: VertexType) -> VertexSet:
+        if vtype.name in self.vertex_sets:
+            raise KeyError(f"vertex set '{vtype.name}' already added")
+        vs = VertexSet(vtype)
+        self.vertex_sets[vtype.name] = vs
+        return vs
+
+    def add_factor_set(self, ftype: FactorType) -> FactorSet:
+        if ftype.name in self.factor_sets:
+            raise KeyError(f"factor set '{ftype.name}' already added")
+        for vt in ftype.vertex_types:
+            if vt.name not in self.vertex_sets:
+                raise KeyError(
+                    f"factor '{ftype.name}' references vertex type "
+                    f"'{vt.name}' which has not been added to the graph"
+                )
+        fs = FactorSet(ftype)
+        self.factor_sets[ftype.name] = fs
+        return fs
+
+    def scale_system(self, enable: bool) -> None:
+        """Toggle Jacobi column scaling (reference graph.hpp:331)."""
+        self._scale_jacobians = bool(enable)
+
+    @property
+    def scale_jacobians(self) -> bool:
+        return self._scale_jacobians
+
+    # ---- freeze ------------------------------------------------------------
+    def freeze(self, opt_level: int = 0,
+               precision: Optional[Precision] = None) -> Problem:
+        """Discover structure and build the jit-ready `Problem`.
+
+        Mirrors ``Graph::initialize_optimization`` (graph.hpp:92-167):
+        sort vertices by (eliminated, global id), map factor global ids to
+        local ids, deactivate unreferenced/fixed vertices, assign Hessian
+        block columns with eliminated descriptors last.
+        """
+        precision = precision or self.precision
+        gdt = precision.graph_dtype
+        sdt = precision.solver_dtype
+
+        # 1. Active factors per set + local id resolution.
+        factor_ids_local: Dict[str, np.ndarray] = {}
+        factor_mask: Dict[str, np.ndarray] = {}
+        for name, fs in self.factor_sets.items():
+            gids = fs.ids_array()  # (F, N) global
+            local = np.zeros_like(gids)
+            for slot, vt in enumerate(fs.ftype.vertex_types):
+                vs = self.vertex_sets[vt.name]
+                try:
+                    local[:, slot] = [vs.id_to_local[g] for g in gids[:, slot]]
+                except KeyError as e:
+                    raise KeyError(
+                        f"factor set '{name}' slot {slot} references unknown "
+                        f"vertex id {e.args[0]} of type '{vt.name}'"
+                    ) from None
+            factor_ids_local[name] = local
+            factor_mask[name] = is_factor_active(fs.level_array(), opt_level)
+
+        # 2. Vertex active state: !fixed AND referenced by an active factor
+        # (graph.hpp:171-210, ops/active.hpp:15-58).
+        referenced = {
+            name: np.zeros(vs.count, dtype=bool)
+            for name, vs in self.vertex_sets.items()
+        }
+        for name, fs in self.factor_sets.items():
+            mask = factor_mask[name]
+            local = factor_ids_local[name]
+            for slot, vt in enumerate(fs.ftype.vertex_types):
+                np.logical_or.at(referenced[vt.name], local[mask, slot], True)
+        vertex_active = {}
+        for name, vs in self.vertex_sets.items():
+            vertex_active[name] = referenced[name] & ~vs.fixed_array()
+
+        # 3. Sort all vertices by (eliminated, global_id) and assign columns
+        # to active ones (graph.hpp:109-149).
+        entries = []
+        for name, vs in self.vertex_sets.items():
+            elim = vs.eliminate
+            for local, gid in enumerate(vs.global_ids):
+                entries.append((bool(elim), gid, name, local))
+        entries.sort(key=lambda e: (e[0], e[1]))
+
+        col = 0
+        block_id = 0
+        elimination_block = None
+        block_offsets = []
+        block_vertex: List[Tuple[str, int]] = []
+        block_dims: List[int] = []
+        vertex_col_offset = {
+            name: np.full(vs.count, -1, dtype=np.int64)
+            for name, vs in self.vertex_sets.items()
+        }
+        vertex_block_id = {
+            name: np.full(vs.count, -1, dtype=np.int64)
+            for name, vs in self.vertex_sets.items()
+        }
+        for elim, gid, name, local in entries:
+            if not vertex_active[name][local]:
+                continue
+            if elim and elimination_block is None:
+                elimination_block = block_id
+            d = self.vertex_sets[name].vtype.dim
+            vertex_col_offset[name][local] = col
+            vertex_block_id[name][local] = block_id
+            block_offsets.append(col)
+            block_vertex.append((name, local))
+            block_dims.append(d)
+            col += d
+            block_id += 1
+        dim_h = col
+        block_offsets.append(dim_h)
+        if elimination_block is None:
+            elimination_block = block_id
+        elimination_col = (
+            block_offsets[elimination_block]
+            if elimination_block < block_id
+            else dim_h
+        )
+
+        # 4. Trash pad: inactive vertices scatter past dim_h.
+        pad = max([vs.vtype.dim for vs in self.vertex_sets.values()] + [1])
+        for name in vertex_col_offset:
+            off = vertex_col_offset[name]
+            off[off < 0] = dim_h  # trash column
+
+        # 5. Build device arrays.
+        vdata: Dict[str, VertexArrays] = {}
+        params0: Dict[str, jax.Array] = {}
+        meta_v: Dict[str, VertexMeta] = {}
+        for name, vs in self.vertex_sets.items():
+            vdata[name] = VertexArrays(
+                col_offset=jnp.asarray(vertex_col_offset[name], dtype=jnp.int32),
+                active=jnp.asarray(vertex_active[name]),
+            )
+            params0[name] = jnp.asarray(vs.values_array(), dtype=gdt)
+            meta_v[name] = VertexMeta(
+                vtype=vs.vtype,
+                count=vs.count,
+                n_active=int(vertex_active[name].sum()),
+            )
+
+        fdata: Dict[str, FactorArrays] = {}
+        meta_f: Dict[str, FactorMeta] = {}
+        slot_mask_h: Dict[str, np.ndarray] = {}
+        for name, fs in self.factor_sets.items():
+            local = factor_ids_local[name]
+            fmask = factor_mask[name]
+            n = fs.count
+            nslots = fs.ftype.arity
+            cols_base = np.zeros((n, nslots), dtype=np.int64)
+            smask = np.zeros((n, nslots), dtype=bool)
+            for slot, vt in enumerate(fs.ftype.vertex_types):
+                cols_base[:, slot] = vertex_col_offset[vt.name][local[:, slot]]
+                smask[:, slot] = fmask & vertex_active[vt.name][local[:, slot]]
+            slot_mask_h[name] = smask
+
+            obs = fs.obs_array()
+            data = fs.data_array()
+            has_p = any(p is not None for p in fs.precision)
+            fdata[name] = FactorArrays(
+                ids=tuple(
+                    jnp.asarray(local[:, s], dtype=jnp.int32)
+                    for s in range(nslots)
+                ),
+                cols_base=jnp.asarray(cols_base, dtype=jnp.int32),
+                obs=None if obs is None else jnp.asarray(obs, dtype=gdt),
+                data=None if data is None else jnp.asarray(data, dtype=gdt),
+                precision=(
+                    jnp.asarray(fs.precision_array(), dtype=sdt) if has_p else None
+                ),
+                loss_params=jnp.asarray(fs.loss_params_array(), dtype=gdt),
+                factor_mask=jnp.asarray(fmask),
+                slot_mask=jnp.asarray(smask),
+            )
+            meta_f[name] = FactorMeta(
+                ftype=fs.ftype,
+                count=n,
+                n_active=int(fmask.sum()),
+                store_jacobians=fs.store_jacobians,
+            )
+
+        host = HostStructure(
+            vertex_col_offset=vertex_col_offset,
+            vertex_block_id=vertex_block_id,
+            vertex_active=vertex_active,
+            vertex_fixed={
+                name: vs.fixed_array() for name, vs in self.vertex_sets.items()
+            },
+            factor_ids=factor_ids_local,
+            factor_mask=factor_mask,
+            slot_mask=slot_mask_h,
+        )
+
+        problem = Problem(
+            meta_v, meta_f, GraphData(vertices=vdata, factors=fdata), params0,
+            dim_h=dim_h, pad=pad,
+            block_offsets=np.asarray(block_offsets, dtype=np.int64),
+            block_vertex=block_vertex,
+            block_dims=np.asarray(block_dims, dtype=np.int64),
+            elimination_block=elimination_block,
+            elimination_col=elimination_col,
+            opt_level=opt_level,
+            precision=precision,
+            host=host,
+        )
+        problem.scale_jacobians = self._scale_jacobians
+        return problem

@@ -1,0 +1,415 @@
+"""Linearization engine: residuals, Jacobians, chi2, Jacobi scaling, b.
+
+TPU-native analog of ``Graph::linearize`` / ``compute_error`` / ``chi2``
+(reference: graph.hpp:221-290) and the underlying kernels:
+
+- residual + autodiff Jacobian (ops/error.hpp:100-180, 252-293) becomes one
+  vmapped ``jax.jacfwd`` trace per factor type — one fused XLA computation
+  instead of one CUDA kernel per vertex slot;
+- manual Jacobians (ops/linearize.hpp:10-80) become a vmapped user function;
+- chi2 + robust loss + derivative (ops/chi2.hpp:32-44);
+- Jacobi column scaling ``s = 1/(eps + sqrt(diag(J^T dL P J)))``
+  (graph.hpp:254-281, ops/linearize.hpp:140-231);
+- ``b = -sum_f J^T dL P r`` via deterministic segment_sum instead of
+  atomicAdd (ops/linearize.hpp:240-303).
+
+All functions are pure and jit-compatible; the `Problem` provides static
+structure via closure, and `GraphData` rides along as a pytree argument so
+relinearization never retraces.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .graph import FactorArrays, GraphData, Problem
+from .ops.segment import col_indices, scatter_add_flat
+from .precision import clamp_to_storage
+
+# Diagonal clamp range used for LM damping and Jacobi preconditioning
+# (reference: pcg.hpp:102-104, ops/hessian.hpp:100-109).
+DIAG_MIN = 1.0e-6
+DIAG_MAX = 1.0e32
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Linearization:
+    """Everything produced by one linearization pass (a pytree)."""
+
+    residuals: Dict[str, jax.Array]  # (F, E) graph dtype
+    jacobians: Dict[str, Optional[Tuple[jax.Array, ...]]]  # (F, E, d_i) solver
+    chi2_vec: Dict[str, jax.Array]  # (F,) robust per-factor chi2
+    chi2_deriv: Dict[str, jax.Array]  # (F,) loss derivative dL
+    scales: jax.Array  # (dim_x,) Jacobi column scales (1.0 in pad region)
+    diag: jax.Array  # (dim_x,) diagonal of the *scaled* Hessian, unclamped
+    b: jax.Array  # (dim_x,) b = -J^T dL P r (scaled system)
+    chi2: jax.Array  # scalar sum of chi2_vec
+
+
+# --------------------------------------------------------------------------
+# Per-factor residual / Jacobian evaluation
+# --------------------------------------------------------------------------
+
+def _call_args(fa: FactorArrays):
+    """Gather the vmapped (obs, data) tail arguments and their in_axes."""
+    tail = []
+    axes = []
+    if fa.obs is not None:
+        tail.append(fa.obs)
+        axes.append(0)
+    if fa.data is not None:
+        tail.append(fa.data)
+        axes.append(0)
+    return tuple(tail), tuple(axes)
+
+
+def _gather_params(problem: Problem, params, name: str):
+    fa = problem.data.factors[name]
+    fm = problem.factor_meta[name]
+    return tuple(
+        params[vt.name][fa.ids[slot]]
+        for slot, vt in enumerate(fm.ftype.vertex_types)
+    )
+
+
+def compute_residuals_block(problem: Problem, params, name: str) -> jax.Array:
+    """Residuals (F, E) for one factor block (ops/error.hpp:252-293)."""
+    fm = problem.factor_meta[name]
+    fa = problem.data.factors[name]
+    gathered = _gather_params(problem, params, name)
+    tail, tail_axes = _call_args(fa)
+    fn = fm.ftype.residual_fn
+
+    def one(*args):
+        return jnp.asarray(fn(*args)).reshape(fm.ftype.residual_dim)
+
+    in_axes = (0,) * fm.ftype.arity + tail_axes
+    return jax.vmap(one, in_axes=in_axes)(*gathered, *tail)
+
+
+def _residual_and_jacobian_block(problem: Problem, params, name: str):
+    """(F,E) residuals and per-slot (F,E,d_i) tangent Jacobians.
+
+    AUTO mode: jacfwd of the residual through each vertex type's ``retract``
+    at delta=0 (replaces the reference's Dual-number kernels,
+    ops/error.hpp:100-180). MANUAL: user-provided analytic blocks
+    (ops/linearize.hpp:10-80).
+    """
+    fm = problem.factor_meta[name]
+    fa = problem.data.factors[name]
+    ftype = fm.ftype
+    gathered = _gather_params(problem, params, name)
+    tail, tail_axes = _call_args(fa)
+    gdt = problem.precision.graph_dtype
+    n = ftype.arity
+
+    if ftype.jacobian_fn is not None:
+        def one_manual(*args):
+            ps, rest = args[:n], args[n:]
+            r = jnp.asarray(ftype.residual_fn(*ps, *rest))
+            J = ftype.jacobian_fn(*ps, *rest)
+            J = tuple(
+                jnp.asarray(Ji).reshape(ftype.residual_dim, vt.dim)
+                for Ji, vt in zip(J, ftype.vertex_types)
+            )
+            return r.reshape(ftype.residual_dim), J
+
+        in_axes = (0,) * n + tail_axes
+        return jax.vmap(one_manual, in_axes=in_axes)(*gathered, *tail)
+
+    def one_auto(*args):
+        ps, rest = args[:n], args[n:]
+
+        def g(deltas):
+            xs = tuple(
+                vt.retract(p, d)
+                for vt, p, d in zip(ftype.vertex_types, ps, deltas)
+            )
+            return jnp.asarray(ftype.residual_fn(*xs, *rest)).reshape(
+                ftype.residual_dim
+            )
+
+        zeros = tuple(
+            jnp.zeros(vt.dim, dtype=gdt) for vt in ftype.vertex_types
+        )
+        r = g(zeros)
+        J = jax.jacfwd(g)(zeros)
+        return r, J
+
+    in_axes = (0,) * n + tail_axes
+    return jax.vmap(one_auto, in_axes=in_axes)(*gathered, *tail)
+
+
+# --------------------------------------------------------------------------
+# chi2 (ops/chi2.hpp)
+# --------------------------------------------------------------------------
+
+def _weighted_residual(fa: FactorArrays, r: jax.Array, acc_dtype) -> jax.Array:
+    """P @ r per factor; identity precision short-circuits to r."""
+    if fa.precision is None:
+        return r
+    return jnp.einsum(
+        "fij,fj->fi", fa.precision.astype(acc_dtype), r.astype(acc_dtype),
+        preferred_element_type=acc_dtype,
+    ).astype(r.dtype)
+
+
+def compute_chi2_block(problem: Problem, name: str, r: jax.Array):
+    """Per-factor robust chi2 and loss derivative (ops/chi2.hpp:32-44).
+
+    raw = r^T P r; chi2 = loss(raw) (masked to active factors);
+    dL = loss'(raw) re-weights all downstream H/b/JtPv products.
+    """
+    fm = problem.factor_meta[name]
+    fa = problem.data.factors[name]
+    pr = _weighted_residual(fa, r, problem.precision.acc_dtype)
+    raw = jnp.sum(r * pr, axis=-1)
+    lp = fa.loss_params
+    chi2 = fm.ftype.loss.value(raw, lp) * fa.factor_mask
+    deriv = fm.ftype.loss.derivative(raw, lp)
+    return chi2, deriv
+
+
+# --------------------------------------------------------------------------
+# Full linearization pass (graph.hpp:236-290)
+# --------------------------------------------------------------------------
+
+def linearize(problem: Problem, params) -> Linearization:
+    gdt = problem.precision.graph_dtype
+    sdt = problem.precision.solver_dtype
+    acc = problem.precision.acc_dtype
+    dim_x = problem.dim_x
+    scale_on = getattr(problem, "scale_jacobians", True)
+
+    residuals: Dict[str, jax.Array] = {}
+    jac_raw: Dict[str, Tuple[jax.Array, ...]] = {}
+    chi2_vec: Dict[str, jax.Array] = {}
+    chi2_deriv: Dict[str, jax.Array] = {}
+
+    # 1. residuals + Jacobians + chi2
+    for name, fm in problem.factor_meta.items():
+        fa = problem.data.factors[name]
+        r, J = _residual_and_jacobian_block(problem, params, name)
+        r = r.astype(gdt)
+        # Mask per-slot Jacobians: zero for inactive factors / fixed vertices
+        # (static-shape analog of is_vertex_active guards, active.hpp:18-21).
+        J = tuple(
+            Ji * fa.slot_mask[:, s, None, None].astype(Ji.dtype)
+            for s, Ji in enumerate(J)
+        )
+        residuals[name] = r
+        jac_raw[name] = J
+        chi2_vec[name], chi2_deriv[name] = compute_chi2_block(problem, name, r)
+
+    # 2. Jacobi scaling (graph.hpp:254-281): diag of unscaled J^T dL P J.
+    diag_raw = jnp.zeros(dim_x, dtype=gdt)
+    for name, fm in problem.factor_meta.items():
+        fa = problem.data.factors[name]
+        dL = chi2_deriv[name].astype(acc)
+        for s, vt in enumerate(fm.ftype.vertex_types):
+            Ji = jac_raw[name][s].astype(acc)
+            PJ = (
+                Ji
+                if fa.precision is None
+                else jnp.einsum(
+                    "fij,fjc->fic", fa.precision.astype(acc), Ji,
+                    preferred_element_type=acc,
+                )
+            )
+            contrib = jnp.einsum(
+                "fec,fec->fc", Ji, PJ, preferred_element_type=acc
+            ) * dL[:, None]
+            cols = col_indices(fa.cols_base[:, s], vt.dim)
+            diag_raw = diag_raw + scatter_add_flat(
+                contrib.astype(gdt), cols, dim_x
+            )
+
+    if scale_on:
+        eps = jnp.asarray(np.finfo(np.float64).eps, dtype=gdt)
+        scales = (1.0 / (eps + jnp.sqrt(diag_raw))).astype(gdt)
+        # pad region (and any untouched active column) must stay sane
+        scales = jnp.where(diag_raw > 0, scales, jnp.ones_like(scales))
+    else:
+        scales = jnp.ones(dim_x, dtype=gdt)
+
+    # 3. scale + store Jacobians (ops/linearize.hpp:140-231); diag of the
+    # scaled Hessian is diag_raw * s^2 (algebraically identical to the
+    # reference's recompute from scaled J, pcg.hpp:93-99).
+    jacobians: Dict[str, Optional[Tuple[jax.Array, ...]]] = {}
+    for name, fm in problem.factor_meta.items():
+        fa = problem.data.factors[name]
+        scaled = []
+        for s, vt in enumerate(fm.ftype.vertex_types):
+            Ji = jac_raw[name][s]
+            if scale_on:
+                cols = col_indices(fa.cols_base[:, s], vt.dim)
+                si = scales[cols]  # (F, d)
+                Ji = Ji * si[:, None, :].astype(Ji.dtype)
+            scaled.append(clamp_to_storage(Ji, sdt))
+        if fm.store_jacobians:
+            jacobians[name] = tuple(scaled)
+        else:
+            jacobians[name] = None  # dynamic mode: recomputed in matvecs
+        jac_raw[name] = tuple(scaled)  # used below for b/diag regardless
+
+    diag = diag_raw * scales * scales
+
+    # 4. b = -J^T dL P r over all factor blocks (ops/linearize.hpp:240-303).
+    b = jnp.zeros(dim_x, dtype=gdt)
+    for name, fm in problem.factor_meta.items():
+        fa = problem.data.factors[name]
+        r = residuals[name]
+        w = _weighted_residual(fa, r, acc) * chi2_deriv[name][:, None]
+        for s, vt in enumerate(fm.ftype.vertex_types):
+            Ji = jac_raw[name][s].astype(acc)
+            contrib = -jnp.einsum(
+                "fec,fe->fc", Ji, w.astype(acc), preferred_element_type=acc
+            )
+            cols = col_indices(fa.cols_base[:, s], vt.dim)
+            b = b + scatter_add_flat(contrib.astype(gdt), cols, dim_x)
+
+    chi2 = sum(jnp.sum(v) for v in chi2_vec.values())
+
+    return Linearization(
+        residuals=residuals,
+        jacobians=jacobians,
+        chi2_vec=chi2_vec,
+        chi2_deriv=chi2_deriv,
+        scales=scales,
+        diag=diag,
+        b=b,
+        chi2=jnp.asarray(chi2, dtype=gdt),
+    )
+
+
+def compute_chi2(problem: Problem, params) -> jax.Array:
+    """chi2 only (``Graph::compute_error`` + ``chi2``, graph.hpp:221-234)."""
+    total = jnp.asarray(0.0, dtype=problem.precision.graph_dtype)
+    for name in problem.factor_meta:
+        r = compute_residuals_block(problem, params, name)
+        c, _ = compute_chi2_block(problem, name, r)
+        total = total + jnp.sum(c)
+    return total
+
+
+# --------------------------------------------------------------------------
+# Matrix-free products (ops/product.hpp)
+# --------------------------------------------------------------------------
+
+def _block_jacobians(problem: Problem, lin: Linearization, params, name: str):
+    """Stored-or-recomputed scaled Jacobians for one factor block.
+
+    Dynamic (storage-free) mode recomputes J like the reference's
+    ``*_dynamic_*`` kernels (ops/product.hpp:101-142, factor.hpp:632-650)
+    under ``jax.checkpoint``-style rematerialization.
+    """
+    J = lin.jacobians[name]
+    if J is not None:
+        return J
+    if params is None:
+        raise ValueError(
+            f"factor block '{name}' uses dynamic Jacobians; pass params to "
+            "the matvec"
+        )
+    fa = problem.data.factors[name]
+    fm = problem.factor_meta[name]
+    _, Jr = _residual_and_jacobian_block(problem, params, name)
+    out = []
+    for s, vt in enumerate(fm.ftype.vertex_types):
+        Ji = Jr[s] * fa.slot_mask[:, s, None, None].astype(Jr[s].dtype)
+        cols = col_indices(fa.cols_base[:, s], vt.dim)
+        si = lin.scales[cols]
+        out.append((Ji * si[:, None, :].astype(Ji.dtype)))
+    return tuple(out)
+
+
+def Jv(problem: Problem, lin: Linearization, x: jax.Array,
+       params=None) -> Dict[str, jax.Array]:
+    """v1 = J x per factor block (ops/product.hpp:49-99).
+
+    ``x`` is a (dim_x,) vector over Hessian columns (pad region ignored
+    because masked J columns are zero).
+    """
+    acc = problem.precision.acc_dtype
+    gdt = problem.precision.graph_dtype
+    out = {}
+    for name, fm in problem.factor_meta.items():
+        fa = problem.data.factors[name]
+        J = _block_jacobians(problem, lin, params, name)
+        y = jnp.zeros((fm.count, fm.ftype.residual_dim), dtype=acc)
+        for s, vt in enumerate(fm.ftype.vertex_types):
+            cols = col_indices(fa.cols_base[:, s], vt.dim)
+            xg = x[cols].astype(acc)  # (F, d)
+            y = y + jnp.einsum(
+                "fec,fc->fe", J[s].astype(acc), xg, preferred_element_type=acc
+            )
+        out[name] = y.astype(gdt)
+    return out
+
+
+def JtPv(problem: Problem, lin: Linearization, v: Dict[str, jax.Array],
+         params=None) -> jax.Array:
+    """v2 = J^T dL P v accumulated over all blocks (ops/product.hpp:226-288)."""
+    acc = problem.precision.acc_dtype
+    gdt = problem.precision.graph_dtype
+    out = jnp.zeros(problem.dim_x, dtype=gdt)
+    for name, fm in problem.factor_meta.items():
+        fa = problem.data.factors[name]
+        J = _block_jacobians(problem, lin, params, name)
+        w = _weighted_residual(fa, v[name], acc) * lin.chi2_deriv[name][:, None]
+        for s, vt in enumerate(fm.ftype.vertex_types):
+            contrib = jnp.einsum(
+                "fec,fe->fc", J[s].astype(acc), w.astype(acc),
+                preferred_element_type=acc,
+            )
+            cols = col_indices(fa.cols_base[:, s], vt.dim)
+            out = out + scatter_add_flat(contrib.astype(gdt), cols, problem.dim_x)
+    return out
+
+
+def hessian_matvec(problem: Problem, lin: Linearization, x: jax.Array,
+                   params=None) -> jax.Array:
+    """Implicit H x = J^T dL P (J x) — the PCG core (pcg.hpp:141-163)."""
+    return JtPv(problem, lin, Jv(problem, lin, x, params), params)
+
+
+# --------------------------------------------------------------------------
+# Parameter update / backup (graph.hpp:292-318, ops/update.hpp, ops/state.hpp)
+# --------------------------------------------------------------------------
+
+def apply_update(problem: Problem, params, lin: Linearization,
+                 delta_x: jax.Array):
+    """params' = retract(params, scales * delta_x) for active vertices
+    (ops/update.hpp:9-31; scale correction graph.hpp:292-300)."""
+    new_params = {}
+    scaled = delta_x * lin.scales
+    for name, vm in problem.vertex_meta.items():
+        va = problem.data.vertices[name]
+        vt = vm.vtype
+        cols = col_indices(va.col_offset, vt.dim)  # (V, d)
+        delta = scaled[cols].astype(params[name].dtype)
+        updated = jax.vmap(vt.retract)(params[name], delta)
+        new_params[name] = jnp.where(va.active[:, None], updated, params[name])
+    return new_params
+
+
+def backup_parameters(problem: Problem, params):
+    """Trust-region backup (graph.hpp:302-309): functional — save_state."""
+    return {
+        name: jax.vmap(vm.vtype.save_state)(params[name])
+        for name, vm in problem.vertex_meta.items()
+    }
+
+
+def restore_parameters(problem: Problem, params, backup):
+    """Revert to backup with partial-State semantics (ops/state.hpp:46-61)."""
+    return {
+        name: jax.vmap(vm.vtype.load_state)(params[name], backup[name])
+        for name, vm in problem.vertex_meta.items()
+    }
