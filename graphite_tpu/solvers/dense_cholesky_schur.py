@@ -1,0 +1,80 @@
+"""Dense Cholesky on the Schur (pose) system + landmark back-substitution.
+
+Small-problem analog of the reference's Schur direct solvers
+(``cudssSchurSolver``/``EigenSchurLDLTSolver``, cudss_schur.hpp:13-235,
+eigen_schur.hpp:14-109): factorize only the pose system, then
+back-substitute landmarks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..hessian import (
+    apply_damping,
+    build_hessian_structure,
+    compute_hessian_values,
+)
+from ..linearize import Linearization
+from ..schur import SchurOps, build_schur_structure, schur_values
+from .pcg_schur import SchurSolverState
+
+
+def schur_to_dense(problem, ss, sv) -> jax.Array:
+    """Dense S (dim_p x dim_p) from grouped block values (for oracles)."""
+    n = ss.dim_p
+    offsets = problem.block_offsets
+    S = jnp.zeros((n, n), dtype=problem.precision.inv_dtype)
+    for key in ss.s_keys:
+        dr, dc = key
+        rows, cols = ss.s_rows[key], ss.s_cols[key]
+        rr = offsets[rows][:, None, None] + np.arange(dr)[None, :, None]
+        cc = offsets[cols][:, None, None] + np.arange(dc)[None, None, :]
+        flat = rr * n + cc  # (K, dr, dc)
+        v = sv.s_vals[key].astype(S.dtype)
+        S = S.reshape(-1).at[jnp.asarray(flat).reshape(-1)].add(
+            v.reshape(-1)).reshape(n, n)
+        off = rows != cols
+        if np.any(off):
+            o = np.nonzero(off)[0]
+            flat_t = (cc[o].swapaxes(-1, -2) * n
+                      + rr[o].swapaxes(-1, -2))
+            S = S.reshape(-1).at[jnp.asarray(flat_t).reshape(-1)].add(
+                jnp.swapaxes(v[jnp.asarray(o)], -1, -2).reshape(-1)
+            ).reshape(n, n)
+    return S
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseCholeskySchurSolver:
+    def prepare(self, problem, lin: Linearization, params=None):
+        hs = build_hessian_structure(problem)
+        build_schur_structure(problem)
+        return SchurSolverState(hvals=compute_hessian_values(problem, hs, lin))
+
+    def solve(self, problem, lin: Linearization, state, damping,
+              use_identity: bool, params=None):
+        gdt = problem.precision.graph_dtype
+        hs = build_hessian_structure(problem)
+        ss = build_schur_structure(problem)
+        hv = apply_damping(problem, hs, state.hvals, lin.diag, damping,
+                           use_identity)
+        sv = schur_values(problem, ss, hv)
+        ops = SchurOps(problem, ss, hv, sv)
+        b_s = ops.b_schur(lin.b)
+
+        S = schur_to_dense(problem, ss, sv)
+        L, low = jax.scipy.linalg.cho_factor(S, lower=True)
+        dx_p = jax.scipy.linalg.cho_solve((L, low), b_s.astype(S.dtype))
+        ok = jnp.all(jnp.isfinite(dx_p))
+        dx_p = jnp.where(ok, dx_p, 0.0).astype(gdt)
+        dx_l = ops.landmark_update(lin.b, dx_p)
+
+        out = jnp.zeros(problem.dim_x, dtype=gdt)
+        out = out.at[: ss.dim_p].set(dx_p)
+        out = out.at[ss.dim_p: problem.dim_h].set(dx_l.astype(gdt))
+        return out, ok

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..linearize import DIAG_MIN, DIAG_MAX, Linearization, hessian_matvec
+from ..ops.pcg_loop import run_pcg
 from ..preconditioners.identity import IdentityPreconditioner
 
 
@@ -68,57 +69,10 @@ class PCGSolver:
         def matvec(p):
             return hessian_matvec(problem, lin, p, params) + damp_vec * p
 
-        def precondition(r):
-            # Normalize r before preconditioning (pcg.hpp:109-121).
-            rnorm = jnp.sqrt(jnp.dot(r, r))
-            y = r / jnp.where(rnorm == 0, 1.0, rnorm)
+        def precond(y):
             return self.preconditioner.apply(problem, lin, pstate, y)
 
-        b = lin.b
-        x0 = jnp.zeros(dim_x, dtype=gdt)
-        r0 = b
-        z0 = precondition(r0)
-        p0 = z0
-        rz0_dot = jnp.dot(r0, z0)
-        inf = jnp.asarray(jnp.inf, dtype=gdt)
-
-        # carry: (k, x, r, p, z, rz, rz_min, done)
-        def cond(c):
-            k, x, r, p, z, rz, rz_min, done = c
-            return (k < self.max_iter) & (~done) & (rz != 0)
-
-        def body(c):
-            k, x, r, p, z, rz, rz_min, done = c
-            v2 = matvec(p)
-            pv = jnp.dot(p, v2)
-            alpha = rz / pv
-            x_new = x + alpha * p
-            r_new = r - alpha * v2
-            z_new = precondition(r_new)
-            rz_new = jnp.dot(r_new, z_new)
-
-            reject = (jnp.abs(rz_new) > self.rejection_ratio * rz_min) | jnp.isnan(
-                rz_new
-            )
-            # On rejection restore previous x and stop (pcg.hpp:198-206).
-            x_out = jnp.where(reject, x, x_new)
-            rz_min_new = jnp.minimum(rz_min, jnp.abs(rz_new))
-            beta = rz_new / rz
-            p_new = z_new + beta * p
-            converged = jnp.abs(rz_new) < self.tol
-            done_new = reject | converged
-            return (
-                k + 1,
-                x_out,
-                jnp.where(reject, r, r_new),
-                jnp.where(reject, p, p_new),
-                jnp.where(reject, z, z_new),
-                jnp.where(reject, rz, rz_new),
-                rz_min_new,
-                done_new,
-            )
-
-        init = (jnp.asarray(0), x0, r0, p0, z0, rz0_dot, inf, jnp.asarray(False))
-        _, x, *_ = jax.lax.while_loop(cond, body, init)
+        x = run_pcg(lin.b, matvec, precond, self.max_iter, self.tol,
+                    self.rejection_ratio)
         x = x.at[problem.dim_h:].set(0.0)
         return x, jnp.asarray(True)
