@@ -134,6 +134,40 @@ class Problem:
         self.precision: Precision = precision
         self.host = host  # host-side NumPy copies of index arrays/masks
         self._cache: dict = {}
+        # When set (inside shard_map over a factor-sharded mesh axis),
+        # cross-factor reductions (b, diag, chi2, J^T v, Hessian values) are
+        # psum'ed over this axis — the TPU analog of multi-GPU assembly.
+        self.psum_axis = None
+
+    def allreduce(self, x):
+        if self.psum_axis is None:
+            return x
+        return jax.lax.psum(x, self.psum_axis)
+
+    def shard_slice(self, arr, n_local: int):
+        """Slice a global per-factor constant down to this shard's rows.
+
+        Inside shard_map, host-side per-factor index maps (e.g. Hessian
+        scatter targets) are closure constants over the GLOBAL factor count;
+        each device needs its contiguous n_local slice.
+        """
+        if self.psum_axis is None or arr.shape[0] == n_local:
+            return arr
+        start = jax.lax.axis_index(self.psum_axis) * n_local
+        return jax.lax.dynamic_slice_in_dim(arr, start, n_local, 0)
+
+    def shard_replica(self, data: "GraphData", axis: str) -> "Problem":
+        """Shallow copy bound to shard-local data, reducing over ``axis``.
+
+        Used inside ``shard_map``: static metadata and caches are shared;
+        only the factor arrays differ (each device sees its F/n slice).
+        """
+        import copy
+
+        p = copy.copy(self)
+        p.data = data
+        p.psum_axis = axis
+        return p
 
     # number of columns in the flat internal vectors (b, delta_x, diag, ...)
     @property
@@ -223,7 +257,8 @@ class Graph:
 
     # ---- freeze ------------------------------------------------------------
     def freeze(self, opt_level: int = 0,
-               precision: Optional[Precision] = None) -> Problem:
+               precision: Optional[Precision] = None,
+               pad_factors_to: int = 1) -> Problem:
         """Discover structure and build the jit-ready `Problem`.
 
         Mirrors ``Graph::initialize_optimization`` (graph.hpp:92-167):
@@ -235,11 +270,33 @@ class Graph:
         gdt = precision.graph_dtype
         sdt = precision.solver_dtype
 
+        # 0. Optional padding of every factor block to a multiple of
+        # ``pad_factors_to`` (disabled padding factors, MSB level byte) so a
+        # factor-sharded mesh sees equal per-device slices.
+        def _pad_count(n: int) -> int:
+            if pad_factors_to <= 1:
+                return 0
+            return (-n) % pad_factors_to
+
         # 1. Active factors per set + local id resolution.
         factor_ids_local: Dict[str, np.ndarray] = {}
         factor_mask: Dict[str, np.ndarray] = {}
+        factor_levels: Dict[str, np.ndarray] = {}
         for name, fs in self.factor_sets.items():
             gids = fs.ids_array()  # (F, N) global
+            npad = _pad_count(gids.shape[0])
+            if npad:
+                if gids.shape[0] == 0:
+                    raise ValueError(f"cannot pad empty factor set '{name}'")
+                gids = np.concatenate(
+                    [gids, np.repeat(gids[:1], npad, axis=0)], axis=0
+                )
+            levels = fs.level_array()
+            if npad:
+                levels = np.concatenate(
+                    [levels, np.full(npad, 0x80, dtype=levels.dtype)]
+                )
+            factor_levels[name] = levels
             local = np.zeros_like(gids)
             for slot, vt in enumerate(fs.ftype.vertex_types):
                 vs = self.vertex_sets[vt.name]
@@ -251,7 +308,7 @@ class Graph:
                         f"vertex id {e.args[0]} of type '{vt.name}'"
                     ) from None
             factor_ids_local[name] = local
-            factor_mask[name] = is_factor_active(fs.level_array(), opt_level)
+            factor_mask[name] = is_factor_active(factor_levels[name], opt_level)
 
         # 2. Vertex active state: !fixed AND referenced by an active factor
         # (graph.hpp:171-210, ops/active.hpp:15-58).
@@ -339,10 +396,17 @@ class Graph:
         fdata: Dict[str, FactorArrays] = {}
         meta_f: Dict[str, FactorMeta] = {}
         slot_mask_h: Dict[str, np.ndarray] = {}
+        def _pad_rows(arr: Optional[np.ndarray], n_total: int):
+            if arr is None or arr.shape[0] == n_total:
+                return arr
+            pad = np.zeros((n_total - arr.shape[0],) + arr.shape[1:],
+                           dtype=arr.dtype)
+            return np.concatenate([arr, pad], axis=0)
+
         for name, fs in self.factor_sets.items():
             local = factor_ids_local[name]
             fmask = factor_mask[name]
-            n = fs.count
+            n = local.shape[0]  # padded count
             nslots = fs.ftype.arity
             cols_base = np.zeros((n, nslots), dtype=np.int64)
             smask = np.zeros((n, nslots), dtype=bool)
@@ -351,8 +415,8 @@ class Graph:
                 smask[:, slot] = fmask & vertex_active[vt.name][local[:, slot]]
             slot_mask_h[name] = smask
 
-            obs = fs.obs_array()
-            data = fs.data_array()
+            obs = _pad_rows(fs.obs_array(), n)
+            data = _pad_rows(fs.data_array(), n)
             has_p = any(p is not None for p in fs.precision)
             fdata[name] = FactorArrays(
                 ids=tuple(
@@ -363,9 +427,18 @@ class Graph:
                 obs=None if obs is None else jnp.asarray(obs, dtype=gdt),
                 data=None if data is None else jnp.asarray(data, dtype=gdt),
                 precision=(
-                    jnp.asarray(fs.precision_array(), dtype=sdt) if has_p else None
+                    jnp.asarray(_pad_rows(fs.precision_array(), n), dtype=sdt)
+                    if has_p else None
                 ),
-                loss_params=jnp.asarray(fs.loss_params_array(), dtype=gdt),
+                # padding rows use the loss default so vectorized loss
+                # derivatives stay finite (0/0 guards)
+                loss_params=jnp.asarray(
+                    np.concatenate([
+                        fs.loss_params_array(),
+                        np.full(n - fs.count, fs.ftype.loss.default_param()),
+                    ]),
+                    dtype=gdt,
+                ),
                 factor_mask=jnp.asarray(fmask),
                 slot_mask=jnp.asarray(smask),
             )

@@ -320,18 +320,20 @@ def compute_hessian_values(problem, hs: HessianStructure,
         blk = jnp.einsum(
             "fer,fec->frc", Js, pj(cm.fname, cm.t), preferred_element_type=acc
         ) * dL[:, None, None]
+        n_local = blk.shape[0]
         if cm.direct_idx is not None:
+            idx = problem.shard_slice(jnp.asarray(cm.direct_idx), n_local)
             values[cm.direct_group] = values[cm.direct_group] + jax.ops.segment_sum(
-                blk.astype(inv_dt), jnp.asarray(cm.direct_idx),
+                blk.astype(inv_dt), idx,
                 num_segments=hs.group_sizes[cm.direct_group] + 1,
             )
         if cm.trans_idx is not None:
+            idx = problem.shard_slice(jnp.asarray(cm.trans_idx), n_local)
             values[cm.trans_group] = values[cm.trans_group] + jax.ops.segment_sum(
-                jnp.swapaxes(blk, -1, -2).astype(inv_dt),
-                jnp.asarray(cm.trans_idx),
+                jnp.swapaxes(blk, -1, -2).astype(inv_dt), idx,
                 num_segments=hs.group_sizes[cm.trans_group] + 1,
             )
-    return values
+    return {k: problem.allreduce(v) for k, v in values.items()}
 
 
 def apply_damping(problem, hs: HessianStructure, values: HessianValues,

@@ -230,6 +230,8 @@ def linearize(problem: Problem, params) -> Linearization:
                 contrib.astype(gdt), cols, dim_x
             )
 
+    diag_raw = problem.allreduce(diag_raw)
+
     if scale_on:
         eps = jnp.asarray(np.finfo(np.float64).eps, dtype=gdt)
         scales = (1.0 / (eps + jnp.sqrt(diag_raw))).astype(gdt)
@@ -273,8 +275,9 @@ def linearize(problem: Problem, params) -> Linearization:
             )
             cols = col_indices(fa.cols_base[:, s], vt.dim)
             b = b + scatter_add_flat(contrib.astype(gdt), cols, dim_x)
+    b = problem.allreduce(b)
 
-    chi2 = sum(jnp.sum(v) for v in chi2_vec.values())
+    chi2 = problem.allreduce(sum(jnp.sum(v) for v in chi2_vec.values()))
 
     return Linearization(
         residuals=residuals,
@@ -295,7 +298,7 @@ def compute_chi2(problem: Problem, params) -> jax.Array:
         r = compute_residuals_block(problem, params, name)
         c, _ = compute_chi2_block(problem, name, r)
         total = total + jnp.sum(c)
-    return total
+    return problem.allreduce(total)
 
 
 # --------------------------------------------------------------------------
@@ -342,7 +345,9 @@ def Jv(problem: Problem, lin: Linearization, x: jax.Array,
     for name, fm in problem.factor_meta.items():
         fa = problem.data.factors[name]
         J = _block_jacobians(problem, lin, params, name)
-        y = jnp.zeros((fm.count, fm.ftype.residual_dim), dtype=acc)
+        # J[0].shape[0] is the local factor count (== fm.count single-device,
+        # == fm.count / n_devices inside a factor-sharded shard_map).
+        y = jnp.zeros((J[0].shape[0], fm.ftype.residual_dim), dtype=acc)
         for s, vt in enumerate(fm.ftype.vertex_types):
             cols = col_indices(fa.cols_base[:, s], vt.dim)
             xg = x[cols].astype(acc)  # (F, d)
@@ -370,7 +375,7 @@ def JtPv(problem: Problem, lin: Linearization, v: Dict[str, jax.Array],
             )
             cols = col_indices(fa.cols_base[:, s], vt.dim)
             out = out + scatter_add_flat(contrib.astype(gdt), cols, problem.dim_x)
-    return out
+    return problem.allreduce(out)
 
 
 def hessian_matvec(problem: Problem, lin: Linearization, x: jax.Array,

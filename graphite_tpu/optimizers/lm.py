@@ -184,8 +184,15 @@ def _lm_iteration(problem, solver, options: LevenbergMarquardtOptions):
     return step
 
 
-def _initial_carry(problem, solver, params, options) -> LMCarry:
+def _initial_carry_traced(problem, solver, params, options) -> LMCarry:
+    """Traceable initial-carry construction (used inside shard_map too)."""
     gdt = problem.precision.graph_dtype
+    lin = linearize(problem, params)
+    sstate = solver.prepare(problem, lin, params)
+    return _make_carry(problem, params, lin, sstate, options)
+
+
+def _initial_carry(problem, solver, params, options) -> LMCarry:
     init_key = ("lm_init", id(solver))
     if init_key not in problem._cache:
         def _init(p):
@@ -194,6 +201,11 @@ def _initial_carry(problem, solver, params, options) -> LMCarry:
 
         problem._cache[init_key] = jax.jit(_init)
     lin, sstate = problem._cache[init_key](params)
+    return _make_carry(problem, params, lin, sstate, options)
+
+
+def _make_carry(problem, params, lin, sstate, options) -> LMCarry:
+    gdt = problem.precision.graph_dtype
     return LMCarry(
         params=params,
         backup=backup_parameters(problem, params),

@@ -73,7 +73,7 @@ def compute_block_diagonal(problem, lin: Linearization) -> Dict[str, jax.Array]:
                 blk, fa.ids[s], num_segments=problem.vertex_meta[vt.name].count
             )
             blocks[vt.name] = blocks[vt.name] + contrib.astype(inv_dt)
-    return blocks
+    return {name: problem.allreduce(b) for name, b in blocks.items()}
 
 
 @dataclasses.dataclass(frozen=True)
