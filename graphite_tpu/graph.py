@@ -300,13 +300,21 @@ class Graph:
             local = np.zeros_like(gids)
             for slot, vt in enumerate(fs.ftype.vertex_types):
                 vs = self.vertex_sets[vt.name]
-                try:
-                    local[:, slot] = [vs.id_to_local[g] for g in gids[:, slot]]
-                except KeyError as e:
+                vs_gids = np.asarray(vs.global_ids, dtype=np.int64)
+                sorter = np.argsort(vs_gids, kind="stable")
+                sorted_gids = vs_gids[sorter]
+                pos = np.searchsorted(sorted_gids, gids[:, slot])
+                pos_c = np.clip(pos, 0, max(len(sorted_gids) - 1, 0))
+                ok = (len(sorted_gids) > 0) & (
+                    sorted_gids[pos_c] == gids[:, slot]
+                )
+                if not np.all(ok):
+                    bad = gids[:, slot][~np.asarray(ok, dtype=bool)][0]
                     raise KeyError(
                         f"factor set '{name}' slot {slot} references unknown "
-                        f"vertex id {e.args[0]} of type '{vt.name}'"
-                    ) from None
+                        f"vertex id {bad} of type '{vt.name}'"
+                    )
+                local[:, slot] = sorter[pos_c]
             factor_ids_local[name] = local
             factor_mask[name] = is_factor_active(factor_levels[name], opt_level)
 

@@ -108,9 +108,11 @@ def build_hessian_structure(problem) -> HessianStructure:
     n_cols = problem.n_blocks
 
     # 1. Collect upper-triangular block coordinates from all factor
-    # slot-pairs (hessian.hpp:48-85).
-    coords = set()
+    # slot-pairs (hessian.hpp:48-85). Blocks are encoded as c*n_cols+r so a
+    # sorted unique is exactly CSC order with the diagonal block last in its
+    # column (r <= c means max row in column c is the diagonal).
     pair_sources = []  # (fname, s, t, bs (F,), bt (F,))
+    all_codes = []
     for fname, fm in problem.factor_meta.items():
         bids = _block_ids_for(problem, fname)
         n = fm.ftype.arity
@@ -120,31 +122,39 @@ def build_hessian_structure(problem) -> HessianStructure:
                 valid = (bs >= 0) & (bt >= 0)
                 lo = np.minimum(bs, bt)[valid]
                 hi = np.maximum(bs, bt)[valid]
-                coords.update(zip(lo.tolist(), hi.tolist()))
+                all_codes.append(hi * n_cols + lo)
                 pair_sources.append((fname, s, t, bs, bt))
 
-    # CSC order: sort by (col, row); diagonal block last in each column.
-    block_list = sorted(coords, key=lambda rc: (rc[1], rc[0]))
-    block_rows = np.asarray([r for r, _ in block_list], dtype=np.int64)
-    block_cols = np.asarray([c for _, c in block_list], dtype=np.int64)
-    nb = len(block_list)
-    block_index = {rc: i for i, rc in enumerate(block_list)}
+    codes = (np.unique(np.concatenate(all_codes)) if all_codes
+             else np.zeros(0, dtype=np.int64))
+    block_rows = codes % n_cols
+    block_cols = codes // n_cols
+    nb = codes.shape[0]
 
-    # 2. Group by (dr, dc).
-    group_keys: List[Tuple[int, int]] = []
-    group_map: Dict[Tuple[int, int], int] = {}
-    group_of_block = np.zeros(nb, dtype=np.int64)
-    index_in_group = np.zeros(nb, dtype=np.int64)
-    group_counts: Dict[Tuple[int, int], int] = {}
-    for i, (r, c) in enumerate(block_list):
-        key = (int(block_dims[r]), int(block_dims[c]))
-        if key not in group_map:
-            group_map[key] = len(group_keys)
-            group_keys.append(key)
-            group_counts[key] = 0
-        group_of_block[i] = group_map[key]
-        index_in_group[i] = group_counts[key]
-        group_counts[key] += 1
+    # 2. Group by (dr, dc), preserving CSC order within each group.
+    dr_all = block_dims[block_rows] if nb else np.zeros(0, dtype=np.int64)
+    dc_all = block_dims[block_cols] if nb else np.zeros(0, dtype=np.int64)
+    dim_codes = dr_all * 100000 + dc_all
+    uniq_dims, group_of_block = np.unique(dim_codes, return_inverse=True)
+    group_keys = [(int(d // 100000), int(d % 100000)) for d in uniq_dims]
+    counts = np.bincount(group_of_block, minlength=len(group_keys)).astype(
+        np.int64
+    )
+    group_counts = {key: int(c) for key, c in zip(group_keys, counts)}
+    index_in_group = np.empty(nb, dtype=np.int64)
+    perm = np.argsort(group_of_block, kind="stable")
+    index_in_group[perm] = (
+        np.arange(nb) - np.repeat(np.concatenate([[0], np.cumsum(counts)[:-1]]),
+                                  counts)
+    )
+    group_map = {key: i for i, key in enumerate(group_keys)}
+
+    def _lookup_in_group(code_arr):
+        """(codes,) -> (index_in_group, found mask) via binary search."""
+        pos = np.searchsorted(codes, code_arr)
+        pos_c = np.clip(pos, 0, max(nb - 1, 0))
+        found = (nb > 0) & (codes[pos_c] == code_arr)
+        return index_in_group[pos_c], found
 
     # 3. Contribution maps: direct (bs<=bt) and transposed (bs>=bt, plus the
     # self-block transpose when bs==bt and s<t).
@@ -153,22 +163,21 @@ def build_hessian_structure(problem) -> HessianStructure:
         fm = problem.factor_meta[fname]
         ds = fm.ftype.vertex_types[s].dim
         dt_ = fm.ftype.vertex_types[t].dim
-        F = fm.count
         dkey, tkey = (ds, dt_), (dt_, ds)
         d_trash = group_counts.get(dkey, 0)
         t_trash = group_counts.get(tkey, 0)
-        direct_idx = np.full(F, d_trash, dtype=np.int64)
-        trans_idx = np.full(F, t_trash, dtype=np.int64)
         valid = (bs >= 0) & (bt >= 0)
-        for f in np.nonzero(valid)[0]:
-            r, c = int(bs[f]), int(bt[f])
-            if r <= c:
-                direct_idx[f] = index_in_group[block_index[(r, c)]]
-            if r > c or (r == c and s < t):
-                trans_idx[f] = index_in_group[block_index[(c, r)]]
-        if not np.any(direct_idx != d_trash):
+        code_d = bt * n_cols + bs  # (r=bs, c=bt)
+        code_t = bs * n_cols + bt  # (r=bt, c=bs)
+        idx_d, found_d = _lookup_in_group(np.where(valid, code_d, 0))
+        idx_t, found_t = _lookup_in_group(np.where(valid, code_t, 0))
+        use_d = valid & (bs <= bt) & found_d
+        use_t = valid & ((bs > bt) | ((bs == bt) & (s < t))) & found_t
+        direct_idx = np.where(use_d, idx_d, d_trash)
+        trans_idx = np.where(use_t, idx_t, t_trash)
+        if not np.any(use_d):
             direct_idx = None
-        if not np.any(trans_idx != t_trash):
+        if not np.any(use_t):
             trans_idx = None
         contribs.append(
             ContribMap(fname, s, t, dkey,
@@ -178,50 +187,61 @@ def build_hessian_structure(problem) -> HessianStructure:
         )
 
     # 4. Diagonal-block lookup per block column.
-    diag_group = np.full(n_cols, -1, dtype=np.int64)
-    diag_idx = np.zeros(n_cols, dtype=np.int64)
-    for j in range(n_cols):
-        bi = block_index.get((j, j))
-        if bi is not None:
-            diag_group[j] = group_of_block[bi]
-            diag_idx[j] = index_in_group[bi]
+    cols_j = np.arange(n_cols)
+    diag_codes = cols_j * n_cols + cols_j
+    diag_pos = np.searchsorted(codes, diag_codes)
+    diag_pos_c = np.clip(diag_pos, 0, max(nb - 1, 0))
+    diag_found = (nb > 0) & (codes[diag_pos_c] == diag_codes)
+    diag_group = np.where(diag_found, group_of_block[diag_pos_c], -1)
+    diag_idx = np.where(diag_found, index_in_group[diag_pos_c], 0)
 
     # 5. Scalar CSC (full symmetric) structure + per-group scatter maps
-    # (csc_utils.hpp:73-193, extended to the full matrix).
+    # (csc_utils.hpp:73-193, extended to the full matrix). Entry arrays are
+    # built group-vectorized: for each (dr, dc) group all direct entries,
+    # then all transposed entries of its off-diagonal blocks.
     dim_h = problem.dim_h
     offsets = problem.block_offsets
-    rows_all: List[np.ndarray] = []
-    cols_all: List[np.ndarray] = []
-    which_block: List[np.ndarray] = []
-    transposed: List[np.ndarray] = []
-    for i, (r, c) in enumerate(block_list):
-        dr, dc = int(block_dims[r]), int(block_dims[c])
-        rr = np.repeat(np.arange(dr), dc) + offsets[r]
-        cc = np.tile(np.arange(dc), dr) + offsets[c]
-        rows_all.append(rr)
-        cols_all.append(cc)
-        which_block.append(np.full(dr * dc, i))
-        transposed.append(np.zeros(dr * dc, dtype=bool))
-        if r != c:
-            rows_all.append(cc)
-            cols_all.append(rr)
-            which_block.append(np.full(dr * dc, i))
-            transposed.append(np.ones(dr * dc, dtype=bool))
-    if rows_all:
-        rows_cat = np.concatenate(rows_all)
-        cols_cat = np.concatenate(cols_all)
-        blk_cat = np.concatenate(which_block)
-        tr_cat = np.concatenate(transposed)
+    rows_segments: List[np.ndarray] = []
+    cols_segments: List[np.ndarray] = []
+    seg_layout = []  # (key, kind, block-index-in-group array)
+    for gi, key in enumerate(group_keys):
+        dr, dc = key
+        members = np.nonzero(group_of_block == gi)[0]  # CSC order
+        r_ids = block_rows[members]
+        c_ids = block_cols[members]
+        rr = (offsets[r_ids][:, None, None]
+              + np.arange(dr)[None, :, None])  # (ng, dr, 1)
+        cc = (offsets[c_ids][:, None, None]
+              + np.arange(dc)[None, None, :])  # (ng, 1, dc)
+        rows_segments.append(np.broadcast_to(rr, (len(members), dr, dc)).ravel())
+        cols_segments.append(np.broadcast_to(cc, (len(members), dr, dc)).ravel())
+        seg_layout.append((key, "direct", index_in_group[members]))
+        off = members[r_ids != c_ids]
+        if off.size:
+            r_o = block_rows[off]
+            c_o = block_cols[off]
+            rr_t = (offsets[c_o][:, None, None]
+                    + np.arange(dc)[None, None, :])  # transposed row = c+j
+            cc_t = (offsets[r_o][:, None, None]
+                    + np.arange(dr)[None, :, None])
+            rows_segments.append(
+                np.broadcast_to(rr_t, (off.size, dr, dc)).ravel())
+            cols_segments.append(
+                np.broadcast_to(cc_t, (off.size, dr, dc)).ravel())
+            seg_layout.append((key, "trans", index_in_group[off]))
+
+    if rows_segments:
+        rows_cat = np.concatenate(rows_segments)
+        cols_cat = np.concatenate(cols_segments)
     else:
-        rows_cat = cols_cat = blk_cat = np.zeros(0, dtype=np.int64)
-        tr_cat = np.zeros(0, dtype=bool)
+        rows_cat = cols_cat = np.zeros(0, dtype=np.int64)
 
     order = np.lexsort((rows_cat, cols_cat))  # CSC: by col, then row
     nnz = rows_cat.shape[0]
     csc_indices = rows_cat[order]
-    counts = np.bincount(cols_cat, minlength=dim_h)
+    counts_c = np.bincount(cols_cat, minlength=dim_h)
     csc_indptr = np.zeros(dim_h + 1, dtype=np.int64)
-    np.cumsum(counts, out=csc_indptr[1:])
+    np.cumsum(counts_c, out=csc_indptr[1:])
     # position of each (block entry, orientation) in the CSC values array
     pos_of = np.empty(nnz, dtype=np.int64)
     pos_of[order] = np.arange(nnz)
@@ -233,21 +253,16 @@ def build_hessian_structure(problem) -> HessianStructure:
         ng = group_counts[key]
         csc_dst[key] = np.full((ng + 1, dr, dc), nnz, dtype=np.int64)
         csc_dst_t[key] = np.full((ng + 1, dr, dc), nnz, dtype=np.int64)
-    entry_cursor = 0
-    for i, (r, c) in enumerate(block_list):
-        dr, dc = int(block_dims[r]), int(block_dims[c])
-        key = (dr, dc)
-        k = index_in_group[i]
-        n_entries = dr * dc
-        csc_dst[key][k] = pos_of[entry_cursor:entry_cursor + n_entries].reshape(
-            dr, dc
-        )
-        entry_cursor += n_entries
-        if r != c:
-            csc_dst_t[key][k] = pos_of[
-                entry_cursor:entry_cursor + n_entries
-            ].reshape(dr, dc)
-            entry_cursor += n_entries
+    cursor = 0
+    for key, kind, in_group in seg_layout:
+        dr, dc = key
+        n_entries = in_group.size * dr * dc
+        chunk = pos_of[cursor:cursor + n_entries].reshape(-1, dr, dc)
+        if kind == "direct":
+            csc_dst[key][in_group] = chunk
+        else:
+            csc_dst_t[key][in_group] = chunk
+        cursor += n_entries
 
     hs = HessianStructure(
         block_rows=block_rows,
