@@ -55,6 +55,8 @@ class VertexArrays:
 
     col_offset: jax.Array  # (V,) int32; dim_h for inactive (trash column)
     active: jax.Array  # (V,) bool
+    active_row: jax.Array  # (V,) int32 row in the type's segment; trash row
+    # (== n_active) for inactive vertices
 
 
 @jax.tree_util.register_dataclass
@@ -63,6 +65,7 @@ class FactorArrays:
     """Per-factor-type device arrays."""
 
     ids: Tuple[jax.Array, ...]  # N arrays of (F,) int32 local vertex indices
+    rows: Tuple[jax.Array, ...]  # N arrays of (F,) int32 active-row indices
     cols_base: jax.Array  # (F, N) int32 first Hessian column per slot
     obs: Optional[jax.Array]  # (F, *obs_shape) graph dtype or None
     data: Optional[jax.Array]
@@ -118,7 +121,8 @@ class Problem:
     def __init__(self, meta_v, meta_f, data, params0, *,
                  dim_h, pad, block_offsets, block_vertex, block_dims,
                  elimination_block, elimination_col, opt_level,
-                 precision, host):
+                 precision, host, seg_start=None, seg_rows=None,
+                 segment_order=None, row_vertex=None):
         self.vertex_meta: Dict[str, VertexMeta] = meta_v
         self.factor_meta: Dict[str, FactorMeta] = meta_f
         self.data: GraphData = data
@@ -133,11 +137,52 @@ class Problem:
         self.opt_level: int = opt_level
         self.precision: Precision = precision
         self.host = host  # host-side NumPy copies of index arrays/masks
+        # Row-segment layout: each vertex type's active columns form one
+        # contiguous [seg_start, seg_start + n_rows*dim) segment, so flat
+        # vectors reshape to (n_rows, dim) per type for free.
+        self.seg_start: Dict[str, int] = seg_start or {}
+        self.seg_rows: Dict[str, int] = seg_rows or {}
+        self.segment_order: List[str] = segment_order or []
+        self.row_vertex: Dict[str, np.ndarray] = row_vertex or {}
         self._cache: dict = {}
         # When set (inside shard_map over a factor-sharded mesh axis),
         # cross-factor reductions (b, diag, chi2, J^T v, Hessian values) are
         # psum'ed over this axis — the TPU analog of multi-GPU assembly.
         self.psum_axis = None
+
+    # ---- row-view helpers (TPU-fast gathers/scatters) ---------------------
+    def rows_view(self, x: jax.Array, vname: str) -> jax.Array:
+        """Flat (dim_x,) -> (n_rows, dim) view of one type's segment."""
+        d = self.vertex_meta[vname].vtype.dim
+        n = self.seg_rows[vname]
+        seg = jax.lax.dynamic_slice_in_dim(x, self.seg_start[vname], n * d, 0)
+        return seg.reshape(n, d)
+
+    def rows_view_padded(self, x: jax.Array, vname: str) -> jax.Array:
+        """Row view plus one trailing zero trash row (index n_rows)."""
+        rows = self.rows_view(x, vname)
+        return jnp.concatenate(
+            [rows, jnp.zeros((1, rows.shape[1]), dtype=rows.dtype)], axis=0
+        )
+
+    def flat_from_rows(self, rows: Dict[str, jax.Array],
+                       dtype=None) -> jax.Array:
+        """Per-type (n_rows, dim) arrays -> flat (dim_x,) vector (pad = 0).
+
+        Missing types contribute zeros.
+        """
+        dtype = dtype or self.precision.graph_dtype
+        parts = []
+        for name in self.segment_order:
+            d = self.vertex_meta[name].vtype.dim
+            n = self.seg_rows[name]
+            r = rows.get(name)
+            if r is None:
+                parts.append(jnp.zeros(n * d, dtype=dtype))
+            else:
+                parts.append(r.reshape(n * d).astype(dtype))
+        parts.append(jnp.zeros(self.pad, dtype=dtype))
+        return jnp.concatenate(parts)
 
     def allreduce(self, x):
         if self.psum_axis is None:
@@ -206,6 +251,7 @@ class HostStructure:
     vertex_col_offset: Dict[str, np.ndarray]
     vertex_block_id: Dict[str, np.ndarray]
     vertex_active: Dict[str, np.ndarray]
+    vertex_active_row: Dict[str, np.ndarray]
     vertex_fixed: Dict[str, np.ndarray]
     factor_ids: Dict[str, np.ndarray]  # (F, N) local indices
     factor_mask: Dict[str, np.ndarray]
@@ -333,14 +379,21 @@ class Graph:
         for name, vs in self.vertex_sets.items():
             vertex_active[name] = referenced[name] & ~vs.fixed_array()
 
-        # 3. Sort all vertices by (eliminated, global_id) and assign columns
-        # to active ones (graph.hpp:109-149).
+        # 3. Sort all vertices by (eliminated, type, global_id) and assign
+        # columns to active ones. The reference sorts by (eliminated,
+        # global_id) only (graph.hpp:109-149); grouping by TYPE keeps every
+        # vertex type's columns in one contiguous, uniformly-strided segment
+        # so flat vectors reshape to (rows, dim) for free — row-shaped
+        # gathers/scatters are ~6x faster than flat scalar indexing on TPU.
+        # The semantic invariant (eliminated descriptors occupy the trailing
+        # columns) is preserved.
+        type_order = {name: i for i, name in enumerate(self.vertex_sets)}
         entries = []
         for name, vs in self.vertex_sets.items():
             elim = vs.eliminate
             for local, gid in enumerate(vs.global_ids):
-                entries.append((bool(elim), gid, name, local))
-        entries.sort(key=lambda e: (e[0], e[1]))
+                entries.append((bool(elim), type_order[name], gid, name, local))
+        entries.sort(key=lambda e: (e[0], e[1], e[2]))
 
         col = 0
         block_id = 0
@@ -356,20 +409,38 @@ class Graph:
             name: np.full(vs.count, -1, dtype=np.int64)
             for name, vs in self.vertex_sets.items()
         }
-        for elim, gid, name, local in entries:
+        vertex_active_row = {
+            name: np.full(vs.count, -1, dtype=np.int64)
+            for name, vs in self.vertex_sets.items()
+        }
+        seg_start: Dict[str, int] = {}
+        seg_rows: Dict[str, int] = {}
+        row_vertex: Dict[str, list] = {name: [] for name in self.vertex_sets}
+        segment_order: List[str] = []
+        for elim, _torder, gid, name, local in entries:
             if not vertex_active[name][local]:
                 continue
             if elim and elimination_block is None:
                 elimination_block = block_id
             d = self.vertex_sets[name].vtype.dim
+            if name not in seg_start:
+                seg_start[name] = col
+                seg_rows[name] = 0
+                segment_order.append(name)
             vertex_col_offset[name][local] = col
             vertex_block_id[name][local] = block_id
+            vertex_active_row[name][local] = seg_rows[name]
+            seg_rows[name] += 1
+            row_vertex[name].append(local)
             block_offsets.append(col)
             block_vertex.append((name, local))
             block_dims.append(d)
             col += d
             block_id += 1
         dim_h = col
+        for name in self.vertex_sets:
+            seg_start.setdefault(name, dim_h)
+            seg_rows.setdefault(name, 0)
         block_offsets.append(dim_h)
         if elimination_block is None:
             elimination_block = block_id
@@ -379,11 +450,14 @@ class Graph:
             else dim_h
         )
 
-        # 4. Trash pad: inactive vertices scatter past dim_h.
+        # 4. Trash pad: inactive vertices scatter past dim_h (flat view) /
+        # to the trash row seg_rows[name] (row view).
         pad = max([vs.vtype.dim for vs in self.vertex_sets.values()] + [1])
         for name in vertex_col_offset:
             off = vertex_col_offset[name]
             off[off < 0] = dim_h  # trash column
+            ar = vertex_active_row[name]
+            ar[ar < 0] = seg_rows[name]  # trash row
 
         # 5. Build device arrays.
         vdata: Dict[str, VertexArrays] = {}
@@ -393,6 +467,8 @@ class Graph:
             vdata[name] = VertexArrays(
                 col_offset=jnp.asarray(vertex_col_offset[name], dtype=jnp.int32),
                 active=jnp.asarray(vertex_active[name]),
+                active_row=jnp.asarray(vertex_active_row[name],
+                                       dtype=jnp.int32),
             )
             params0[name] = jnp.asarray(vs.values_array(), dtype=gdt)
             meta_v[name] = VertexMeta(
@@ -417,9 +493,11 @@ class Graph:
             n = local.shape[0]  # padded count
             nslots = fs.ftype.arity
             cols_base = np.zeros((n, nslots), dtype=np.int64)
+            rows_arr = np.zeros((n, nslots), dtype=np.int64)
             smask = np.zeros((n, nslots), dtype=bool)
             for slot, vt in enumerate(fs.ftype.vertex_types):
                 cols_base[:, slot] = vertex_col_offset[vt.name][local[:, slot]]
+                rows_arr[:, slot] = vertex_active_row[vt.name][local[:, slot]]
                 smask[:, slot] = fmask & vertex_active[vt.name][local[:, slot]]
             slot_mask_h[name] = smask
 
@@ -429,6 +507,10 @@ class Graph:
             fdata[name] = FactorArrays(
                 ids=tuple(
                     jnp.asarray(local[:, s], dtype=jnp.int32)
+                    for s in range(nslots)
+                ),
+                rows=tuple(
+                    jnp.asarray(rows_arr[:, s], dtype=jnp.int32)
                     for s in range(nslots)
                 ),
                 cols_base=jnp.asarray(cols_base, dtype=jnp.int32),
@@ -461,6 +543,7 @@ class Graph:
             vertex_col_offset=vertex_col_offset,
             vertex_block_id=vertex_block_id,
             vertex_active=vertex_active,
+            vertex_active_row=vertex_active_row,
             vertex_fixed={
                 name: vs.fixed_array() for name, vs in self.vertex_sets.items()
             },
@@ -480,6 +563,13 @@ class Graph:
             opt_level=opt_level,
             precision=precision,
             host=host,
+            seg_start=seg_start,
+            seg_rows=seg_rows,
+            segment_order=segment_order,
+            row_vertex={
+                name: np.asarray(v, dtype=np.int64)
+                for name, v in row_vertex.items()
+            },
         )
         problem.scale_jacobians = self._scale_jacobians
         return problem

@@ -351,41 +351,49 @@ def compute_hessian_values(problem, hs: HessianStructure,
     return {k: problem.allreduce(v) for k, v in values.items()}
 
 
+def _diag_rows_by_type(problem, hs: HessianStructure):
+    """Per vertex type: its diagonal-block indices in type-row order."""
+    if "diag_rows_by_type" in problem._cache:
+        return problem._cache["diag_rows_by_type"]
+    out = {}
+    for name, vm in problem.vertex_meta.items():
+        rv = problem.row_vertex.get(name)
+        if rv is None or rv.size == 0:
+            continue
+        bids = problem.host.vertex_block_id[name][rv]  # block id per row
+        gi = hs.diag_group[bids]
+        if np.any(gi < 0):
+            continue  # some active vertex has no diagonal block (no factor)
+        assert np.all(gi == gi[0])
+        key = hs.group_keys[int(gi[0])]
+        out[name] = (key, hs.diag_idx[bids].astype(np.int32))
+    problem._cache["diag_rows_by_type"] = out
+    return out
+
+
 def apply_damping(problem, hs: HessianStructure, values: HessianValues,
                   diag_backup: jax.Array, damping, use_identity: bool
                   ) -> HessianValues:
     """Damped copy of the block values (hessian.hpp:136-176).
 
     ``diag_backup`` is the pre-damping scaled diagonal — ``lin.diag``.
+    Row-shaped per vertex type: the backup slice is a free reshape.
     """
     out = dict(values)
-    offsets = problem.block_offsets
-    dims = problem.block_dims
-    # group diag columns by dimension for batched updates
-    for gi, key in enumerate(hs.group_keys):
-        dr, dc = key
-        if dr != dc:
-            continue
-        cols = np.nonzero(
-            (hs.diag_group == gi)
-        )[0]
-        if cols.size == 0:
-            continue
-        idxs = jnp.asarray(hs.diag_idx[cols], dtype=jnp.int32)
-        col_off = jnp.asarray(offsets[cols], dtype=jnp.int32)
-        gather_cols = col_off[:, None] + jnp.arange(dr)[None, :]
-        d0 = diag_backup[gather_cols].astype(values[key].dtype)  # (K, d)
+    for name, (key, idxs) in _diag_rows_by_type(problem, hs).items():
+        d0 = problem.rows_view(diag_backup, name).astype(values[key].dtype)
         if use_identity:
             dnew = d0 + damping
         else:
             dnew = d0 + damping * jnp.clip(d0, DIAG_MIN, DIAG_MAX)
-        blocks = values[key][idxs]
+        idxs_j = jnp.asarray(idxs)
+        blocks = out[key][idxs_j]
         # overwrite diagonal entries with the damped backup values
         old_diag_mat = jax.vmap(jnp.diag)(
             jnp.diagonal(blocks, axis1=-2, axis2=-1)
         )
         blocks = blocks - old_diag_mat + jax.vmap(jnp.diag)(dnew)
-        out[key] = out[key].at[idxs].set(blocks)
+        out[key] = out[key].at[idxs_j].set(blocks)
     return out
 
 

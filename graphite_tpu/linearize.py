@@ -28,7 +28,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .graph import FactorArrays, GraphData, Problem
-from .ops.segment import col_indices, scatter_add_flat
 from .precision import clamp_to_storage
 
 # Diagonal clamp range used for LM damping and Jacobi preconditioning
@@ -208,7 +207,10 @@ def linearize(problem: Problem, params) -> Linearization:
         chi2_vec[name], chi2_deriv[name] = compute_chi2_block(problem, name, r)
 
     # 2. Jacobi scaling (graph.hpp:254-281): diag of unscaled J^T dL P J.
-    diag_raw = jnp.zeros(dim_x, dtype=gdt)
+    # Accumulated per vertex type in row form ((F,d) -> (n_rows+1,d) with a
+    # trash row), then flattened — row-shaped segment reductions are ~6x
+    # faster than flat scalar scatters on TPU.
+    diag_rows: Dict[str, jax.Array] = {}
     for name, fm in problem.factor_meta.items():
         fa = problem.data.factors[name]
         dL = chi2_deriv[name].astype(acc)
@@ -225,12 +227,14 @@ def linearize(problem: Problem, params) -> Linearization:
             contrib = jnp.einsum(
                 "fec,fec->fc", Ji, PJ, preferred_element_type=acc
             ) * dL[:, None]
-            cols = col_indices(fa.cols_base[:, s], vt.dim)
-            diag_raw = diag_raw + scatter_add_flat(
-                contrib.astype(gdt), cols, dim_x
-            )
+            acc_rows = jax.ops.segment_sum(
+                contrib.astype(gdt), fa.rows[s],
+                num_segments=problem.seg_rows[vt.name] + 1,
+            )[:-1]
+            prev = diag_rows.get(vt.name)
+            diag_rows[vt.name] = acc_rows if prev is None else prev + acc_rows
 
-    diag_raw = problem.allreduce(diag_raw)
+    diag_raw = problem.allreduce(problem.flat_from_rows(diag_rows))
 
     if scale_on:
         eps = jnp.asarray(np.finfo(np.float64).eps, dtype=gdt)
@@ -244,14 +248,17 @@ def linearize(problem: Problem, params) -> Linearization:
     # scaled Hessian is diag_raw * s^2 (algebraically identical to the
     # reference's recompute from scaled J, pcg.hpp:93-99).
     jacobians: Dict[str, Optional[Tuple[jax.Array, ...]]] = {}
+    scales_rows = {
+        name: problem.rows_view_padded(scales, name)
+        for name in problem.vertex_meta
+    } if scale_on else None
     for name, fm in problem.factor_meta.items():
         fa = problem.data.factors[name]
         scaled = []
         for s, vt in enumerate(fm.ftype.vertex_types):
             Ji = jac_raw[name][s]
             if scale_on:
-                cols = col_indices(fa.cols_base[:, s], vt.dim)
-                si = scales[cols]  # (F, d)
+                si = scales_rows[vt.name][fa.rows[s]]  # (F, d) row gather
                 Ji = Ji * si[:, None, :].astype(Ji.dtype)
             scaled.append(clamp_to_storage(Ji, sdt))
         if fm.store_jacobians:
@@ -263,7 +270,7 @@ def linearize(problem: Problem, params) -> Linearization:
     diag = diag_raw * scales * scales
 
     # 4. b = -J^T dL P r over all factor blocks (ops/linearize.hpp:240-303).
-    b = jnp.zeros(dim_x, dtype=gdt)
+    b_rows: Dict[str, jax.Array] = {}
     for name, fm in problem.factor_meta.items():
         fa = problem.data.factors[name]
         r = residuals[name]
@@ -273,9 +280,13 @@ def linearize(problem: Problem, params) -> Linearization:
             contrib = -jnp.einsum(
                 "fec,fe->fc", Ji, w.astype(acc), preferred_element_type=acc
             )
-            cols = col_indices(fa.cols_base[:, s], vt.dim)
-            b = b + scatter_add_flat(contrib.astype(gdt), cols, dim_x)
-    b = problem.allreduce(b)
+            acc_rows = jax.ops.segment_sum(
+                contrib.astype(gdt), fa.rows[s],
+                num_segments=problem.seg_rows[vt.name] + 1,
+            )[:-1]
+            prev = b_rows.get(vt.name)
+            b_rows[vt.name] = acc_rows if prev is None else prev + acc_rows
+    b = problem.allreduce(problem.flat_from_rows(b_rows))
 
     chi2 = problem.allreduce(sum(jnp.sum(v) for v in chi2_vec.values()))
 
@@ -326,8 +337,7 @@ def _block_jacobians(problem: Problem, lin: Linearization, params, name: str):
     out = []
     for s, vt in enumerate(fm.ftype.vertex_types):
         Ji = Jr[s] * fa.slot_mask[:, s, None, None].astype(Jr[s].dtype)
-        cols = col_indices(fa.cols_base[:, s], vt.dim)
-        si = lin.scales[cols]
+        si = problem.rows_view_padded(lin.scales, vt.name)[fa.rows[s]]
         out.append((Ji * si[:, None, :].astype(Ji.dtype)))
     return tuple(out)
 
@@ -341,6 +351,9 @@ def Jv(problem: Problem, lin: Linearization, x: jax.Array,
     """
     acc = problem.precision.acc_dtype
     gdt = problem.precision.graph_dtype
+    x_rows = {
+        name: problem.rows_view_padded(x, name) for name in problem.vertex_meta
+    }
     out = {}
     for name, fm in problem.factor_meta.items():
         fa = problem.data.factors[name]
@@ -349,8 +362,7 @@ def Jv(problem: Problem, lin: Linearization, x: jax.Array,
         # == fm.count / n_devices inside a factor-sharded shard_map).
         y = jnp.zeros((J[0].shape[0], fm.ftype.residual_dim), dtype=acc)
         for s, vt in enumerate(fm.ftype.vertex_types):
-            cols = col_indices(fa.cols_base[:, s], vt.dim)
-            xg = x[cols].astype(acc)  # (F, d)
+            xg = x_rows[vt.name][fa.rows[s]].astype(acc)  # (F, d) row gather
             y = y + jnp.einsum(
                 "fec,fc->fe", J[s].astype(acc), xg, preferred_element_type=acc
             )
@@ -363,7 +375,7 @@ def JtPv(problem: Problem, lin: Linearization, v: Dict[str, jax.Array],
     """v2 = J^T dL P v accumulated over all blocks (ops/product.hpp:226-288)."""
     acc = problem.precision.acc_dtype
     gdt = problem.precision.graph_dtype
-    out = jnp.zeros(problem.dim_x, dtype=gdt)
+    out_rows: Dict[str, jax.Array] = {}
     for name, fm in problem.factor_meta.items():
         fa = problem.data.factors[name]
         J = _block_jacobians(problem, lin, params, name)
@@ -373,9 +385,13 @@ def JtPv(problem: Problem, lin: Linearization, v: Dict[str, jax.Array],
                 "fec,fe->fc", J[s].astype(acc), w.astype(acc),
                 preferred_element_type=acc,
             )
-            cols = col_indices(fa.cols_base[:, s], vt.dim)
-            out = out + scatter_add_flat(contrib.astype(gdt), cols, problem.dim_x)
-    return problem.allreduce(out)
+            acc_rows = jax.ops.segment_sum(
+                contrib.astype(gdt), fa.rows[s],
+                num_segments=problem.seg_rows[vt.name] + 1,
+            )[:-1]
+            prev = out_rows.get(vt.name)
+            out_rows[vt.name] = acc_rows if prev is None else prev + acc_rows
+    return problem.allreduce(problem.flat_from_rows(out_rows))
 
 
 def hessian_matvec(problem: Problem, lin: Linearization, x: jax.Array,
@@ -397,8 +413,8 @@ def apply_update(problem: Problem, params, lin: Linearization,
     for name, vm in problem.vertex_meta.items():
         va = problem.data.vertices[name]
         vt = vm.vtype
-        cols = col_indices(va.col_offset, vt.dim)  # (V, d)
-        delta = scaled[cols].astype(params[name].dtype)
+        rows = problem.rows_view_padded(scaled, name)  # (n_rows+1, d)
+        delta = rows[va.active_row].astype(params[name].dtype)  # (V, d)
         updated = jax.vmap(vt.retract)(params[name], delta)
         new_params[name] = jnp.where(va.active[:, None], updated, params[name])
     return new_params

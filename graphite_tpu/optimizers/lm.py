@@ -102,7 +102,8 @@ def _lm_iteration(problem, solver, options: LevenbergMarquardtOptions):
     def step(carry: LMCarry) -> LMCarry:
         lin = carry.lin
         delta_x, ok = solver.solve(
-            problem, lin, carry.sstate, carry.mu, options.use_identity
+            problem, lin, carry.sstate, carry.mu, options.use_identity,
+            params=carry.params,
         )
 
         # Try the step (backup is functional: keep old params).

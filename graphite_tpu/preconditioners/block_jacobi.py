@@ -27,7 +27,6 @@ import jax.numpy as jnp
 
 from ..linearize import DIAG_MIN, DIAG_MAX, Linearization
 from ..ops.batched_linalg import spd_inverse
-from ..ops.segment import col_indices
 
 
 @jax.tree_util.register_dataclass
@@ -115,17 +114,17 @@ class BlockJacobiPreconditioner:
     def apply(self, problem, lin, state: BlockJacobiState,
               r: jax.Array) -> jax.Array:
         gdt = problem.precision.graph_dtype
-        z = jnp.zeros(problem.dim_x, dtype=gdt)
+        z_rows = {}
         for name, vm in problem.vertex_meta.items():
-            va = problem.data.vertices[name]
-            cols = col_indices(va.col_offset, vm.vtype.dim)  # (V, d)
-            rg = r[cols].astype(state.inv_blocks[name].dtype)
-            zg = jnp.einsum(
-                "vrc,vc->vr", state.inv_blocks[name], rg,
+            if problem.seg_rows[name] == 0:
+                continue
+            rg = problem.rows_view(r, name)  # (n_rows, d)
+            # per-row inverse blocks: gather by the row -> vertex map
+            inv = state.inv_blocks[name][
+                jnp.asarray(problem.row_vertex[name], dtype=jnp.int32)
+            ]
+            z_rows[name] = jnp.einsum(
+                "vrc,vc->vr", inv, rg.astype(inv.dtype),
                 preferred_element_type=problem.precision.acc_dtype,
             )
-            zg = jnp.where(va.active[:, None], zg, 0.0).astype(gdt)
-            # Active vertices own disjoint columns; inactive rows write zeros
-            # into the trash pad region.
-            z = z.at[cols.reshape(-1)].add(zg.reshape(-1))
-        return z.at[problem.dim_h:].set(0.0)
+        return problem.flat_from_rows(z_rows, dtype=gdt)

@@ -2,9 +2,9 @@
 
 TPU-native analog of ``BlockJacobiSchurPreconditioner``
 (reference: preconditioner/block_jacobi_schur.hpp:16-179): gathers the
-diagonal blocks of S (grouped by pose dim), inverts them batched, applies a
-batched block matvec. Damping is a no-op because the Schur values are built
-from the already-damped Hessian (:153-155).
+diagonal blocks of S (grouped per pose vertex type), inverts them batched,
+applies a batched block matvec in row form. Damping is a no-op because the
+Schur values are built from the already-damped Hessian (:153-155).
 """
 
 from __future__ import annotations
@@ -17,54 +17,56 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.batched_linalg import spd_inverse
-from ..ops.segment import scatter_add_flat
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class BlockJacobiSchurState:
-    inv_blocks: Dict[int, jax.Array]  # pose dim -> (K, d, d)
+    inv_blocks: Dict[str, jax.Array]  # pose type -> (n_rows, d, d)
 
 
-def _pose_groups(ss):
-    """Group pose blocks by dim -> (block ids, col offsets)."""
-    groups = {}
-    for p in range(ss.n_pose_blocks):
-        d = int(ss.pose_dims[p])
-        groups.setdefault(d, []).append(p)
-    return groups
+def _pose_type_rows(problem, ss):
+    """Per pose type: S-diagonal block index per row (cached)."""
+    cache = problem._cache
+    if "bjs_rows" not in cache:
+        out = {}
+        pose_ids = np.arange(ss.n_pose_blocks)
+        types = np.asarray([ss.block_type[p] for p in pose_ids])
+        for t in np.unique(types):
+            sel = pose_ids[types == t]
+            rows = ss.block_row[sel]
+            order = np.argsort(rows, kind="stable")
+            sel = sel[order]
+            keys = ss.s_diag_key[sel]
+            assert np.all(keys >= 0), "pose block without an S diagonal block"
+            assert np.all(keys == keys[0])
+            key = ss.s_keys[int(keys[0])]
+            out[str(t)] = (key, ss.s_diag_idx[sel].astype(np.int32))
+        cache["bjs_rows"] = out
+    return cache["bjs_rows"]
 
 
 @dataclasses.dataclass(frozen=True)
 class BlockJacobiSchurPreconditioner:
     def prepare(self, problem, ss, sv) -> BlockJacobiSchurState:
         inv_blocks = {}
-        for d, pose_ids in _pose_groups(ss).items():
-            blocks = []
-            for p in pose_ids:
-                ki = int(ss.s_diag_key[p])
-                assert ki >= 0, "pose block without an S diagonal block"
-            keys = np.asarray([ss.s_diag_key[p] for p in pose_ids])
-            idxs = np.asarray([ss.s_diag_idx[p] for p in pose_ids])
-            # all same-dim diag blocks live in the (d, d) group
-            key = (d, d)
-            gathered = sv.s_vals[key][jnp.asarray(idxs, dtype=jnp.int32)]
-            inv_blocks[d] = spd_inverse(gathered)
+        for t, (key, idxs) in _pose_type_rows(problem, ss).items():
+            gathered = sv.s_vals[key][jnp.asarray(idxs)]
+            inv_blocks[t] = spd_inverse(gathered)
         return BlockJacobiSchurState(inv_blocks=inv_blocks)
 
     def apply(self, problem, ss, state: BlockJacobiSchurState,
               y: jax.Array) -> jax.Array:
         gdt = problem.precision.graph_dtype
-        z = jnp.zeros(ss.dim_p, dtype=gdt)
-        offsets = ss.pose_offsets
-        for d, pose_ids in _pose_groups(ss).items():
-            cols = offsets[np.asarray(pose_ids)][:, None] + np.arange(d)[None, :]
-            yg = y[jnp.asarray(cols)].astype(state.inv_blocks[d].dtype)
-            zg = jnp.einsum("krc,kc->kr", state.inv_blocks[d], yg)
-            z = z.at[jnp.asarray(cols).reshape(-1)].set(
-                zg.astype(gdt).reshape(-1)
+        z_rows = {}
+        for t in state.inv_blocks:
+            inv = state.inv_blocks[t]
+            yg = problem.rows_view(y, t).astype(inv.dtype)
+            z_rows[t] = jnp.einsum(
+                "krc,kc->kr", inv, yg,
+                preferred_element_type=problem.precision.acc_dtype,
             )
-        return z
+        return problem.flat_from_rows(z_rows, dtype=gdt)[: ss.dim_p]
 
 
 @dataclasses.dataclass(frozen=True)

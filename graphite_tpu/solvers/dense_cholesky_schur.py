@@ -72,9 +72,5 @@ class DenseCholeskySchurSolver:
         dx_p = jax.scipy.linalg.cho_solve((L, low), b_s.astype(S.dtype))
         ok = jnp.all(jnp.isfinite(dx_p))
         dx_p = jnp.where(ok, dx_p, 0.0).astype(gdt)
-        dx_l = ops.landmark_update(lin.b, dx_p)
-
-        out = jnp.zeros(problem.dim_x, dtype=gdt)
-        out = out.at[: ss.dim_p].set(dx_p)
-        out = out.at[ss.dim_p: problem.dim_h].set(dx_l.astype(gdt))
-        return out, ok
+        dx_l_rows = ops.landmark_update(lin.b, dx_p)
+        return ops.compose_delta(dx_p, dx_l_rows), ok

@@ -68,9 +68,5 @@ class PCGSchurSolver:
 
         dx_p = run_pcg(b_s, ops.s_matvec, precond, self.max_iter, self.tol,
                        self.rejection_ratio)
-        dx_l = ops.landmark_update(lin.b, dx_p)
-
-        out = jnp.zeros(problem.dim_x, dtype=gdt)
-        out = out.at[: ss.dim_p].set(dx_p.astype(gdt))
-        out = out.at[ss.dim_p: problem.dim_h].set(dx_l.astype(gdt))
-        return out, jnp.asarray(True)
+        dx_l_rows = ops.landmark_update(lin.b, dx_p)
+        return ops.compose_delta(dx_p, dx_l_rows), jnp.asarray(True)

@@ -91,7 +91,10 @@ def test_landmark_update_matches_dense_reference():
     dx_p = np.linalg.solve(S_ref, b_s_ref)
     dx_l_ref = Hll_inv @ (b_l - Hpl.T @ dx_p)
     ops = SchurOps(problem, ss, hv, sv)
-    dx_l = np.asarray(ops.landmark_update(lin.b, jnp.asarray(dx_p)))
+    rows = ops.landmark_update(lin.b, jnp.asarray(dx_p))
+    dx_l = np.asarray(
+        ops.compose_delta(jnp.asarray(dx_p), rows)
+    )[ss.dim_p: problem.dim_h]
     np.testing.assert_allclose(
         dx_l, dx_l_ref, rtol=1e-12,
         atol=1e-12 * max(1.0, np.abs(dx_l_ref).max()),
