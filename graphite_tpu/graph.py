@@ -69,7 +69,8 @@ class FactorArrays:
     cols_base: jax.Array  # (F, N) int32 first Hessian column per slot
     obs: Optional[jax.Array]  # (F, *obs_shape) graph dtype or None
     data: Optional[jax.Array]
-    precision: Optional[jax.Array]  # (F, E, E) solver dtype; None == identity
+    precision: Optional[jax.Array]  # (F, E*E) flat, solver dtype; None ==
+    # identity (flat 2-D storage: see ops/blockfmt.py)
     loss_params: jax.Array  # (F,) graph dtype
     factor_mask: jax.Array  # (F,) bool — active at frozen level
     slot_mask: jax.Array  # (F, N) bool — factor_mask & vertex-active per slot
@@ -517,7 +518,10 @@ class Graph:
                 obs=None if obs is None else jnp.asarray(obs, dtype=gdt),
                 data=None if data is None else jnp.asarray(data, dtype=gdt),
                 precision=(
-                    jnp.asarray(_pad_rows(fs.precision_array(), n), dtype=sdt)
+                    jnp.asarray(
+                        _pad_rows(fs.precision_array(), n).reshape(n, -1),
+                        dtype=sdt,
+                    )
                     if has_p else None
                 ),
                 # padding rows use the loss default so vectorized loss

@@ -41,7 +41,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .linearize import DIAG_MIN, DIAG_MAX, Linearization
+from .linearize import DIAG_MIN, DIAG_MAX, Linearization, _apply_precision
+from .ops.blockfmt import flatten_blocks, unflatten_blocks
 from .ops.segment import scatter_add_flat
 
 
@@ -289,7 +290,9 @@ def build_hessian_structure(problem) -> HessianStructure:
 # Value computation (jit)
 # --------------------------------------------------------------------------
 
-HessianValues = Dict[Tuple[int, int], jax.Array]  # group -> (n_g+1, dr, dc)
+# group -> (n_g+1, dr*dc): blocks stored flat 2-D (ops/blockfmt.py); the
+# trailing trash block absorbs masked contributions.
+HessianValues = Dict[Tuple[int, int], jax.Array]
 
 
 def compute_hessian_values(problem, hs: HessianStructure,
@@ -299,31 +302,30 @@ def compute_hessian_values(problem, hs: HessianStructure,
     acc = problem.precision.acc_dtype
     inv_dt = problem.precision.inv_dtype
     values: HessianValues = {
-        key: jnp.zeros((hs.group_sizes[key] + 1, key[0], key[1]), dtype=inv_dt)
+        key: jnp.zeros((hs.group_sizes[key] + 1, key[0] * key[1]),
+                       dtype=inv_dt)
         for key in hs.group_keys
     }
-    # cache P J_t per (fname, t)
+    # cache P J_t per (fname, t), 3-D transient
     pj_cache: Dict[Tuple[str, int], jax.Array] = {}
+
+    def unflat_j(fname, t):
+        fm = problem.factor_meta[fname]
+        return unflatten_blocks(
+            lin.jacobians[fname][t], fm.ftype.residual_dim,
+            fm.ftype.vertex_types[t].dim,
+        ).astype(acc)
 
     def pj(fname, t):
         k = (fname, t)
         if k not in pj_cache:
             fa = problem.data.factors[fname]
-            Jt = lin.jacobians[fname][t].astype(acc)
-            pj_cache[k] = (
-                Jt
-                if fa.precision is None
-                else jnp.einsum(
-                    "fij,fjc->fic", fa.precision.astype(acc), Jt,
-                    preferred_element_type=acc,
-                )
-            )
+            pj_cache[k] = _apply_precision(fa, unflat_j(fname, t), acc)
         return pj_cache[k]
 
     for cm in hs.contribs:
         if cm.direct_idx is None and cm.trans_idx is None:
             continue
-        fa = problem.data.factors[cm.fname]
         J = lin.jacobians[cm.fname]
         if J is None:
             raise ValueError(
@@ -331,21 +333,21 @@ def compute_hessian_values(problem, hs: HessianStructure,
                 f"('{cm.fname}' is dynamic)"
             )
         dL = lin.chi2_deriv[cm.fname].astype(acc)
-        Js = J[cm.s].astype(acc)
         blk = jnp.einsum(
-            "fer,fec->frc", Js, pj(cm.fname, cm.t), preferred_element_type=acc
+            "fer,fec->frc", unflat_j(cm.fname, cm.s), pj(cm.fname, cm.t),
+            preferred_element_type=acc,
         ) * dL[:, None, None]
         n_local = blk.shape[0]
         if cm.direct_idx is not None:
             idx = problem.shard_slice(jnp.asarray(cm.direct_idx), n_local)
             values[cm.direct_group] = values[cm.direct_group] + jax.ops.segment_sum(
-                blk.astype(inv_dt), idx,
+                flatten_blocks(blk).astype(inv_dt), idx,
                 num_segments=hs.group_sizes[cm.direct_group] + 1,
             )
         if cm.trans_idx is not None:
             idx = problem.shard_slice(jnp.asarray(cm.trans_idx), n_local)
             values[cm.trans_group] = values[cm.trans_group] + jax.ops.segment_sum(
-                jnp.swapaxes(blk, -1, -2).astype(inv_dt), idx,
+                flatten_blocks(jnp.swapaxes(blk, -1, -2)).astype(inv_dt), idx,
                 num_segments=hs.group_sizes[cm.trans_group] + 1,
             )
     return {k: problem.allreduce(v) for k, v in values.items()}
@@ -381,18 +383,23 @@ def apply_damping(problem, hs: HessianStructure, values: HessianValues,
     """
     out = dict(values)
     for name, (key, idxs) in _diag_rows_by_type(problem, hs).items():
+        d = key[0]
         d0 = problem.rows_view(diag_backup, name).astype(values[key].dtype)
         if use_identity:
             dnew = d0 + damping
         else:
             dnew = d0 + damping * jnp.clip(d0, DIAG_MIN, DIAG_MAX)
         idxs_j = jnp.asarray(idxs)
+        # flat (n, d*d) blocks: diagonal entries sit at i*d+i; overwrite them
+        # with the damped backup via a static diag mask.
         blocks = out[key][idxs_j]
-        # overwrite diagonal entries with the damped backup values
-        old_diag_mat = jax.vmap(jnp.diag)(
-            jnp.diagonal(blocks, axis1=-2, axis2=-1)
+        diag_pos = np.arange(d) * (d + 1)
+        mask = np.zeros(d * d, dtype=bool)
+        mask[diag_pos] = True
+        dnew_full = jnp.zeros_like(blocks).at[:, jnp.asarray(diag_pos)].set(
+            dnew
         )
-        blocks = blocks - old_diag_mat + jax.vmap(jnp.diag)(dnew)
+        blocks = jnp.where(jnp.asarray(mask)[None, :], dnew_full, blocks)
         out[key] = out[key].at[idxs_j].set(blocks)
     return out
 
@@ -426,7 +433,9 @@ def hessian_to_dense(problem, hs: HessianStructure,
     for i in range(hs.n_blocks):
         r, c = int(hs.block_rows[i]), int(hs.block_cols[i])
         key = hs.group_keys[hs.group_of_block[i]]
-        blk = np.asarray(values[key][hs.index_in_group[i]], dtype=np.float64)
+        blk = np.asarray(
+            values[key][hs.index_in_group[i]], dtype=np.float64
+        ).reshape(key)
         r0, c0 = int(offsets[r]), int(offsets[c])
         H[r0:r0 + key[0], c0:c0 + key[1]] += blk
         if r != c:

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .graph import FactorArrays, GraphData, Problem
+from .ops.blockfmt import flatten_blocks, unflatten_blocks
 from .precision import clamp_to_storage
 
 # Diagonal clamp range used for LM damping and Jacobi preconditioning
@@ -42,7 +43,8 @@ class Linearization:
     """Everything produced by one linearization pass (a pytree)."""
 
     residuals: Dict[str, jax.Array]  # (F, E) graph dtype
-    jacobians: Dict[str, Optional[Tuple[jax.Array, ...]]]  # (F, E, d_i) solver
+    jacobians: Dict[str, Optional[Tuple[jax.Array, ...]]]  # (F, E*d_i) solver
+    # dtype, flat row-major (see ops/blockfmt.py)
     chi2_vec: Dict[str, jax.Array]  # (F,) robust per-factor chi2
     chi2_deriv: Dict[str, jax.Array]  # (F,) loss derivative dL
     scales: jax.Array  # (dim_x,) Jacobi column scales (1.0 in pad region)
@@ -153,10 +155,23 @@ def _weighted_residual(fa: FactorArrays, r: jax.Array, acc_dtype) -> jax.Array:
     """P @ r per factor; identity precision short-circuits to r."""
     if fa.precision is None:
         return r
+    E = r.shape[-1]
+    P = unflatten_blocks(fa.precision, E, E).astype(acc_dtype)
     return jnp.einsum(
-        "fij,fj->fi", fa.precision.astype(acc_dtype), r.astype(acc_dtype),
+        "fij,fj->fi", P, r.astype(acc_dtype),
         preferred_element_type=acc_dtype,
     ).astype(r.dtype)
+
+
+def _apply_precision(fa: FactorArrays, J3: jax.Array, acc_dtype) -> jax.Array:
+    """P @ J per factor on a (F, E, d) block; identity short-circuits."""
+    if fa.precision is None:
+        return J3
+    E = J3.shape[1]
+    P = unflatten_blocks(fa.precision, E, E).astype(acc_dtype)
+    return jnp.einsum(
+        "fij,fjc->fic", P, J3, preferred_element_type=acc_dtype
+    )
 
 
 def compute_chi2_block(problem: Problem, name: str, r: jax.Array):
@@ -187,24 +202,31 @@ def linearize(problem: Problem, params) -> Linearization:
     scale_on = getattr(problem, "scale_jacobians", True)
 
     residuals: Dict[str, jax.Array] = {}
-    jac_raw: Dict[str, Tuple[jax.Array, ...]] = {}
+    jac_flat: Dict[str, Tuple[jax.Array, ...]] = {}
     chi2_vec: Dict[str, jax.Array] = {}
     chi2_deriv: Dict[str, jax.Array] = {}
 
-    # 1. residuals + Jacobians + chi2
+    # 1. residuals + Jacobians + chi2. Jacobian blocks are kept flat (F, E*d)
+    # whenever HBM-resident (see ops/blockfmt.py) and reshaped transiently
+    # around einsums.
     for name, fm in problem.factor_meta.items():
         fa = problem.data.factors[name]
         r, J = _residual_and_jacobian_block(problem, params, name)
         r = r.astype(gdt)
         # Mask per-slot Jacobians: zero for inactive factors / fixed vertices
         # (static-shape analog of is_vertex_active guards, active.hpp:18-21).
-        J = tuple(
-            Ji * fa.slot_mask[:, s, None, None].astype(Ji.dtype)
+        jac_flat[name] = tuple(
+            flatten_blocks(
+                Ji * fa.slot_mask[:, s, None, None].astype(Ji.dtype)
+            )
             for s, Ji in enumerate(J)
         )
         residuals[name] = r
-        jac_raw[name] = J
         chi2_vec[name], chi2_deriv[name] = compute_chi2_block(problem, name, r)
+
+    E_of = {
+        name: fm.ftype.residual_dim for name, fm in problem.factor_meta.items()
+    }
 
     # 2. Jacobi scaling (graph.hpp:254-281): diag of unscaled J^T dL P J.
     # Accumulated per vertex type in row form ((F,d) -> (n_rows+1,d) with a
@@ -214,16 +236,10 @@ def linearize(problem: Problem, params) -> Linearization:
     for name, fm in problem.factor_meta.items():
         fa = problem.data.factors[name]
         dL = chi2_deriv[name].astype(acc)
+        E = E_of[name]
         for s, vt in enumerate(fm.ftype.vertex_types):
-            Ji = jac_raw[name][s].astype(acc)
-            PJ = (
-                Ji
-                if fa.precision is None
-                else jnp.einsum(
-                    "fij,fjc->fic", fa.precision.astype(acc), Ji,
-                    preferred_element_type=acc,
-                )
-            )
+            Ji = unflatten_blocks(jac_flat[name][s], E, vt.dim).astype(acc)
+            PJ = _apply_precision(fa, Ji, acc)
             contrib = jnp.einsum(
                 "fec,fec->fc", Ji, PJ, preferred_element_type=acc
             ) * dL[:, None]
@@ -246,7 +262,9 @@ def linearize(problem: Problem, params) -> Linearization:
 
     # 3. scale + store Jacobians (ops/linearize.hpp:140-231); diag of the
     # scaled Hessian is diag_raw * s^2 (algebraically identical to the
-    # reference's recompute from scaled J, pcg.hpp:93-99).
+    # reference's recompute from scaled J, pcg.hpp:93-99). In flat layout,
+    # column c of error-row e is index e*d+c, so the per-column scale tiles
+    # E times.
     jacobians: Dict[str, Optional[Tuple[jax.Array, ...]]] = {}
     scales_rows = {
         name: problem.rows_view_padded(scales, name)
@@ -254,18 +272,19 @@ def linearize(problem: Problem, params) -> Linearization:
     } if scale_on else None
     for name, fm in problem.factor_meta.items():
         fa = problem.data.factors[name]
+        E = E_of[name]
         scaled = []
         for s, vt in enumerate(fm.ftype.vertex_types):
-            Ji = jac_raw[name][s]
+            Ji = jac_flat[name][s]
             if scale_on:
                 si = scales_rows[vt.name][fa.rows[s]]  # (F, d) row gather
-                Ji = Ji * si[:, None, :].astype(Ji.dtype)
+                Ji = Ji * jnp.tile(si, (1, E)).astype(Ji.dtype)
             scaled.append(clamp_to_storage(Ji, sdt))
         if fm.store_jacobians:
             jacobians[name] = tuple(scaled)
         else:
             jacobians[name] = None  # dynamic mode: recomputed in matvecs
-        jac_raw[name] = tuple(scaled)  # used below for b/diag regardless
+        jac_flat[name] = tuple(scaled)  # used below for b regardless
 
     diag = diag_raw * scales * scales
 
@@ -274,9 +293,10 @@ def linearize(problem: Problem, params) -> Linearization:
     for name, fm in problem.factor_meta.items():
         fa = problem.data.factors[name]
         r = residuals[name]
+        E = E_of[name]
         w = _weighted_residual(fa, r, acc) * chi2_deriv[name][:, None]
         for s, vt in enumerate(fm.ftype.vertex_types):
-            Ji = jac_raw[name][s].astype(acc)
+            Ji = unflatten_blocks(jac_flat[name][s], E, vt.dim).astype(acc)
             contrib = -jnp.einsum(
                 "fec,fe->fc", Ji, w.astype(acc), preferred_element_type=acc
             )
@@ -338,7 +358,7 @@ def _block_jacobians(problem: Problem, lin: Linearization, params, name: str):
     for s, vt in enumerate(fm.ftype.vertex_types):
         Ji = Jr[s] * fa.slot_mask[:, s, None, None].astype(Jr[s].dtype)
         si = problem.rows_view_padded(lin.scales, vt.name)[fa.rows[s]]
-        out.append((Ji * si[:, None, :].astype(Ji.dtype)))
+        out.append(flatten_blocks(Ji * si[:, None, :].astype(Ji.dtype)))
     return tuple(out)
 
 
@@ -360,11 +380,13 @@ def Jv(problem: Problem, lin: Linearization, x: jax.Array,
         J = _block_jacobians(problem, lin, params, name)
         # J[0].shape[0] is the local factor count (== fm.count single-device,
         # == fm.count / n_devices inside a factor-sharded shard_map).
-        y = jnp.zeros((J[0].shape[0], fm.ftype.residual_dim), dtype=acc)
+        E = fm.ftype.residual_dim
+        y = jnp.zeros((J[0].shape[0], E), dtype=acc)
         for s, vt in enumerate(fm.ftype.vertex_types):
             xg = x_rows[vt.name][fa.rows[s]].astype(acc)  # (F, d) row gather
+            J3 = unflatten_blocks(J[s], E, vt.dim).astype(acc)
             y = y + jnp.einsum(
-                "fec,fc->fe", J[s].astype(acc), xg, preferred_element_type=acc
+                "fec,fc->fe", J3, xg, preferred_element_type=acc
             )
         out[name] = y.astype(gdt)
     return out
@@ -380,9 +402,11 @@ def JtPv(problem: Problem, lin: Linearization, v: Dict[str, jax.Array],
         fa = problem.data.factors[name]
         J = _block_jacobians(problem, lin, params, name)
         w = _weighted_residual(fa, v[name], acc) * lin.chi2_deriv[name][:, None]
+        E = fm.ftype.residual_dim
         for s, vt in enumerate(fm.ftype.vertex_types):
+            J3 = unflatten_blocks(J[s], E, vt.dim).astype(acc)
             contrib = jnp.einsum(
-                "fec,fe->fc", J[s].astype(acc), w.astype(acc),
+                "fec,fe->fc", J3, w.astype(acc),
                 preferred_element_type=acc,
             )
             acc_rows = jax.ops.segment_sum(

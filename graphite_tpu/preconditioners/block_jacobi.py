@@ -25,16 +25,17 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from ..linearize import DIAG_MIN, DIAG_MAX, Linearization
+from ..linearize import DIAG_MIN, DIAG_MAX, Linearization, _apply_precision
 from ..ops.batched_linalg import spd_inverse
+from ..ops.blockfmt import flatten_blocks, unflatten_blocks
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class BlockJacobiState:
-    blocks: Dict[str, jax.Array]  # (V, d, d) pre-damping diagonal blocks
+    blocks: Dict[str, jax.Array]  # (V, d*d) flat pre-damping diagonal blocks
     diag_backup: Dict[str, jax.Array]  # (V, d) pre-damping diagonals
-    inv_blocks: Dict[str, jax.Array]  # (V, d, d) inverted damped blocks
+    inv_blocks: Dict[str, jax.Array]  # (V, d*d) flat inverted damped blocks
 
 
 def compute_block_diagonal(problem, lin: Linearization) -> Dict[str, jax.Array]:
@@ -43,7 +44,8 @@ def compute_block_diagonal(problem, lin: Linearization) -> Dict[str, jax.Array]:
     inv_dt = problem.precision.inv_dtype
     acc = problem.precision.acc_dtype
     blocks = {
-        name: jnp.zeros((vm.count, vm.vtype.dim, vm.vtype.dim), dtype=inv_dt)
+        name: jnp.zeros((vm.count, vm.vtype.dim * vm.vtype.dim),
+                        dtype=inv_dt)
         for name, vm in problem.vertex_meta.items()
     }
     for fname, fm in problem.factor_meta.items():
@@ -55,21 +57,16 @@ def compute_block_diagonal(problem, lin: Linearization) -> Dict[str, jax.Array]:
                 f"factor block '{fname}' is in dynamic mode"
             )
         dL = lin.chi2_deriv[fname].astype(acc)
+        E = fm.ftype.residual_dim
         for s, vt in enumerate(fm.ftype.vertex_types):
-            Ji = J[s].astype(acc)
-            PJ = (
-                Ji
-                if fa.precision is None
-                else jnp.einsum(
-                    "fij,fjc->fic", fa.precision.astype(acc), Ji,
-                    preferred_element_type=acc,
-                )
-            )
+            Ji = unflatten_blocks(J[s], E, vt.dim).astype(acc)
+            PJ = _apply_precision(fa, Ji, acc)
             blk = jnp.einsum(
                 "fer,fec->frc", Ji, PJ, preferred_element_type=acc
             ) * dL[:, None, None]
             contrib = jax.ops.segment_sum(
-                blk, fa.ids[s], num_segments=problem.vertex_meta[vt.name].count
+                flatten_blocks(blk), fa.ids[s],
+                num_segments=problem.vertex_meta[vt.name].count,
             )
             blocks[vt.name] = blocks[vt.name] + contrib.astype(inv_dt)
     return {name: problem.allreduce(b) for name, b in blocks.items()}
@@ -79,9 +76,10 @@ def compute_block_diagonal(problem, lin: Linearization) -> Dict[str, jax.Array]:
 class BlockJacobiPreconditioner:
     def prepare(self, problem, lin: Linearization, params=None) -> BlockJacobiState:
         blocks = compute_block_diagonal(problem, lin)
-        diag_backup = {
-            name: jnp.diagonal(b, axis1=-2, axis2=-1) for name, b in blocks.items()
-        }
+        diag_backup = {}
+        for name, b in blocks.items():
+            d = problem.vertex_meta[name].vtype.dim
+            diag_backup[name] = b[:, ::d + 1] if d > 0 else b
         return BlockJacobiState(
             blocks=blocks, diag_backup=diag_backup,
             inv_blocks={n: jnp.zeros_like(b) for n, b in blocks.items()},
@@ -91,21 +89,22 @@ class BlockJacobiPreconditioner:
                     damping, use_identity) -> BlockJacobiState:
         inv_blocks = {}
         for name, vm in problem.vertex_meta.items():
+            dim = vm.vtype.dim
             b = state.blocks[name]
             d0 = state.diag_backup[name]
             if use_identity:
-                d = d0 + damping
+                dd = d0 + damping
             else:
-                d = d0 + damping * jnp.clip(d0, DIAG_MIN, DIAG_MAX)
-            d_mat = jax.vmap(jnp.diag)(d - d0)
-            damped = b + d_mat
+                dd = d0 + damping * jnp.clip(d0, DIAG_MIN, DIAG_MAX)
+            damped = b.at[:, ::dim + 1].set(dd)
+            damped = unflatten_blocks(damped, dim, dim)
             # Inactive vertices may have all-zero blocks; substitute identity
             # so the batched inverse stays finite (their z entries are never
             # read — apply masks them out).
             active = problem.data.vertices[name].active
-            eye = jnp.eye(vm.vtype.dim, dtype=b.dtype)
+            eye = jnp.eye(dim, dtype=b.dtype)
             damped = jnp.where(active[:, None, None], damped, eye)
-            inv_blocks[name] = spd_inverse(damped)
+            inv_blocks[name] = flatten_blocks(spd_inverse(damped))
         return BlockJacobiState(
             blocks=state.blocks, diag_backup=state.diag_backup,
             inv_blocks=inv_blocks,
@@ -120,9 +119,12 @@ class BlockJacobiPreconditioner:
                 continue
             rg = problem.rows_view(r, name)  # (n_rows, d)
             # per-row inverse blocks: gather by the row -> vertex map
-            inv = state.inv_blocks[name][
-                jnp.asarray(problem.row_vertex[name], dtype=jnp.int32)
-            ]
+            dim = vm.vtype.dim
+            inv = unflatten_blocks(
+                state.inv_blocks[name][
+                    jnp.asarray(problem.row_vertex[name], dtype=jnp.int32)
+                ], dim, dim,
+            )
             z_rows[name] = jnp.einsum(
                 "vrc,vc->vr", inv, rg.astype(inv.dtype),
                 preferred_element_type=problem.precision.acc_dtype,

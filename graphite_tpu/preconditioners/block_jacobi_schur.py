@@ -17,12 +17,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.batched_linalg import spd_inverse
+from ..ops.blockfmt import flatten_blocks, unflatten_blocks
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class BlockJacobiSchurState:
-    inv_blocks: Dict[str, jax.Array]  # pose type -> (n_rows, d, d)
+    inv_blocks: Dict[str, jax.Array]  # pose type -> (n_rows, d*d) flat
 
 
 def _pose_type_rows(problem, ss):
@@ -51,8 +52,10 @@ class BlockJacobiSchurPreconditioner:
     def prepare(self, problem, ss, sv) -> BlockJacobiSchurState:
         inv_blocks = {}
         for t, (key, idxs) in _pose_type_rows(problem, ss).items():
-            gathered = sv.s_vals[key][jnp.asarray(idxs)]
-            inv_blocks[t] = spd_inverse(gathered)
+            gathered = unflatten_blocks(
+                sv.s_vals[key][jnp.asarray(idxs)], key[0], key[1]
+            )
+            inv_blocks[t] = flatten_blocks(spd_inverse(gathered))
         return BlockJacobiSchurState(inv_blocks=inv_blocks)
 
     def apply(self, problem, ss, state: BlockJacobiSchurState,
@@ -60,7 +63,8 @@ class BlockJacobiSchurPreconditioner:
         gdt = problem.precision.graph_dtype
         z_rows = {}
         for t in state.inv_blocks:
-            inv = state.inv_blocks[t]
+            d = problem.vertex_meta[t].vtype.dim
+            inv = unflatten_blocks(state.inv_blocks[t], d, d)
             yg = problem.rows_view(y, t).astype(inv.dtype)
             z_rows[t] = jnp.einsum(
                 "krc,kc->kr", inv, yg,

@@ -41,6 +41,7 @@ import numpy as np
 
 from .hessian import HessianStructure, HessianValues, build_hessian_structure
 from .ops.batched_linalg import spd_inverse
+from .ops.blockfmt import flatten_blocks, unflatten_blocks
 from .ops.segment import scatter_add_flat
 
 
@@ -286,25 +287,31 @@ def build_schur_structure(problem) -> SchurStructure:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class SchurValues:
-    hll_inv: Dict[int, jax.Array]  # dim -> (Lg, d, d)
-    s_vals: Dict[Tuple[int, int], jax.Array]  # key -> (nS_g, dr, dc)
+    hll_inv: Dict[int, jax.Array]  # dim -> (Lg, d*d) flat
+    s_vals: Dict[Tuple[int, int], jax.Array]  # key -> (nS_g, dr*dc) flat
 
 
 def schur_values(problem, ss: SchurStructure, hvals: HessianValues
                  ) -> SchurValues:
     """S = Hpp - Hpl Hll^{-1} Hpl^T from damped H values
-    (schur.hpp:227-235: Hpp copy -> block inversion -> triple products)."""
+    (schur.hpp:227-235: Hpp copy -> block inversion -> triple products).
+
+    All block batches are stored flat 2-D (ops/blockfmt.py); 3-D views exist
+    only transiently inside fused einsums.
+    """
     inv_dt = problem.precision.inv_dtype
 
     # 1. Hll^{-1} per dim group (schur.hpp:1067-1114).
     hll_inv = {}
     for d in ss.lm_dims:
-        blocks = hvals[(d, d)][jnp.asarray(ss.lm_h_idx[d])].astype(inv_dt)
-        hll_inv[d] = spd_inverse(blocks)
+        blocks = unflatten_blocks(
+            hvals[(d, d)][jnp.asarray(ss.lm_h_idx[d])], d, d
+        ).astype(inv_dt)
+        hll_inv[d] = flatten_blocks(spd_inverse(blocks))
 
     # 2. S storage: copy Hpp (schur.hpp:587-614).
     s_vals = {
-        key: jnp.zeros((ss.s_sizes[key], key[0], key[1]), dtype=inv_dt)
+        key: jnp.zeros((ss.s_sizes[key], key[0] * key[1]), dtype=inv_dt)
         for key in ss.s_keys
     }
     for hkey, h_idx, s_idx in ss.hpp_copy:
@@ -312,20 +319,41 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
             hvals[hkey][jnp.asarray(h_idx)].astype(inv_dt)
         )
 
-    # 3. Triple products (schur.hpp:649-734): one gathered einsum +
-    # segment_sum per (dpa, dl, dpb) group.
+    # 3. Triple products (schur.hpp:649-734). First precompute
+    # W = Hpl * Hll^{-1} once per Hpl BLOCK (one small gather), so each
+    # product is W_left * Hpl_right^T — one fewer big gather per product
+    # than the naive L,M,R form (Hll_inv is symmetric, so L M R^T =
+    # (L M) R^T exactly).
+    hpl_w: Dict[Tuple[int, int], jax.Array] = {}
+    for key in ss.hpl_keys:
+        dp, dl = key
+        Hpl3 = unflatten_blocks(
+            hvals[key][jnp.asarray(ss.hpl_h_idx[key])], dp, dl
+        ).astype(inv_dt)
+        lm_gidx = jnp.asarray(
+            ss.lm_group_index[ss.hpl_lm[key]], dtype=jnp.int32
+        )
+        M3 = unflatten_blocks(hll_inv[dl][lm_gidx], dl, dl)
+        hpl_w[key] = flatten_blocks(
+            jnp.einsum("kab,kbc->kac", Hpl3, M3, preferred_element_type=inv_dt)
+        )
+
     for pg in ss.products:
         dpa, dl, dpb = pg["dims"]
-        L = hvals[pg["left_key"]][jnp.asarray(pg["left"])].astype(inv_dt)
-        R = hvals[pg["right_key"]][jnp.asarray(pg["right"])].astype(inv_dt)
-        M = hll_inv[dl][jnp.asarray(pg["mid"])]
-        # dst -= L M R^T  (ops/schur.hpp:117-188)
+        W = unflatten_blocks(
+            hpl_w[pg["left_key"]][jnp.asarray(pg["left"])], dpa, dl
+        )
+        R = unflatten_blocks(
+            hvals[pg["right_key"]][jnp.asarray(pg["right"])], dpb, dl
+        ).astype(inv_dt)
+        # dst -= W R^T  (ops/schur.hpp:117-188)
         prod = jnp.einsum(
-            "kab,kbc,kdc->kad", L, M, R, preferred_element_type=inv_dt
+            "kab,kdb->kad", W, R, preferred_element_type=inv_dt
         )
         key = pg["dst_key"]
         s_vals[key] = s_vals[key] - jax.ops.segment_sum(
-            prod, jnp.asarray(pg["dst"]), num_segments=ss.s_sizes[key]
+            flatten_blocks(prod), jnp.asarray(pg["dst"]),
+            num_segments=ss.s_sizes[key],
         )
     return SchurValues(hll_inv=hll_inv, s_vals=s_vals)
 
@@ -387,7 +415,9 @@ class SchurOps:
             # landmarks of this type, ordered by row == block order ✓
             order = np.argsort(rows, kind="stable")
             gidx = ss.lm_group_index[sel[order]]
-            inv = self.sv.hll_inv[d][jnp.asarray(gidx, dtype=jnp.int32)]
+            inv = unflatten_blocks(
+                self.sv.hll_inv[d][jnp.asarray(gidx, dtype=jnp.int32)], d, d
+            )
             out[t] = jnp.einsum(
                 "krc,kc->kr", inv, t_rows[t].astype(inv.dtype)
             )
@@ -417,7 +447,9 @@ class SchurOps:
                         f"hpl_lm_{key}_{pt}", lm_abs[psel]):
                     sub = psel[lsel]
                     Wg = w[lt][jnp.asarray(lrow, dtype=jnp.int32)]
-                    Hsub = Hpl[jnp.asarray(sub, dtype=jnp.int32)]
+                    Hsub = unflatten_blocks(
+                        Hpl[jnp.asarray(sub, dtype=jnp.int32)], dp, dl
+                    )
                     y = jnp.einsum("kab,kb->ka", Hsub.astype(Wg.dtype), Wg)
                     acc = jax.ops.segment_sum(
                         y.astype(gdt),
@@ -443,6 +475,7 @@ class SchurOps:
             y_rows[t] = acc if prev is None else prev + acc
 
         for key in ss.s_keys:
+            dr_k, dc_k = key
             S = self.sv.s_vals[key]
             rows_b, cols_b = ss.s_rows[key], ss.s_cols[key]
             for rt, rsel, rrow in self._cached_partition(
@@ -450,7 +483,9 @@ class SchurOps:
                 for ct, csel, crow in self._cached_partition(
                         f"s_cols_{key}_{rt}", cols_b[rsel]):
                     sub = rsel[csel]
-                    Sg = S[jnp.asarray(sub, dtype=jnp.int32)]
+                    Sg = unflatten_blocks(
+                        S[jnp.asarray(sub, dtype=jnp.int32)], dr_k, dc_k
+                    )
                     xg = problem.rows_view(x, ct)[
                         jnp.asarray(crow, dtype=jnp.int32)].astype(Sg.dtype)
                     add_rows(rt, jax.ops.segment_sum(
@@ -499,7 +534,9 @@ class SchurOps:
                 for lt, lsel, lrow in self._cached_partition(
                         f"hpl_lm_{key}_{pt}", lm_abs[psel]):
                     sub = psel[lsel]
-                    Hsub = Hpl[jnp.asarray(sub, dtype=jnp.int32)]
+                    Hsub = unflatten_blocks(
+                        Hpl[jnp.asarray(sub, dtype=jnp.int32)], dp, dl
+                    )
                     contrib = jnp.einsum(
                         "kab,ka->kb", Hsub.astype(gdt),
                         xg[jnp.asarray(lsel, dtype=jnp.int32)].astype(gdt),

@@ -19,7 +19,8 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from ..linearize import DIAG_MIN, DIAG_MAX, Linearization
+from ..linearize import DIAG_MIN, DIAG_MAX, Linearization, _apply_precision
+from ..ops.blockfmt import unflatten_blocks
 from ..ops.segment import col_indices, scatter_add_flat
 
 
@@ -40,19 +41,13 @@ def assemble_dense_hessian(problem, lin: Linearization) -> jax.Array:
                 f"dense assembly requires stored Jacobians ('{name}' is dynamic)"
             )
         dL = lin.chi2_deriv[name].astype(acc)
+        E = fm.ftype.residual_dim
         for s, vs in enumerate(fm.ftype.vertex_types):
-            Js = J[s].astype(acc)
-            PJs = (
-                Js
-                if fa.precision is None
-                else jnp.einsum(
-                    "fij,fjc->fic", fa.precision.astype(acc), Js,
-                    preferred_element_type=acc,
-                )
-            )
+            Js = unflatten_blocks(J[s], E, vs.dim).astype(acc)
+            PJs = _apply_precision(fa, Js, acc)
             rows = col_indices(fa.cols_base[:, s], vs.dim)  # (F, ds)
             for t, vt in enumerate(fm.ftype.vertex_types):
-                Jt = J[t].astype(acc)
+                Jt = unflatten_blocks(J[t], E, vt.dim).astype(acc)
                 blk = jnp.einsum(
                     "fer,fec->frc", PJs, Jt, preferred_element_type=acc
                 ) * dL[:, None, None]

@@ -35,7 +35,9 @@ def schur_to_dense(problem, ss, sv) -> jax.Array:
         rr = offsets[rows][:, None, None] + np.arange(dr)[None, :, None]
         cc = offsets[cols][:, None, None] + np.arange(dc)[None, None, :]
         flat = rr * n + cc  # (K, dr, dc)
-        v = sv.s_vals[key].astype(S.dtype)
+        from ..ops.blockfmt import unflatten_blocks
+
+        v = unflatten_blocks(sv.s_vals[key], dr, dc).astype(S.dtype)
         S = S.reshape(-1).at[jnp.asarray(flat).reshape(-1)].add(
             v.reshape(-1)).reshape(n, n)
         off = rows != cols

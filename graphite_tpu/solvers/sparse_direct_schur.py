@@ -100,7 +100,7 @@ class SparseDirectSchurSolver:
 
         vals = jnp.zeros(csc["nnz"] + 1, dtype=gdt)
         for key in ss.s_keys:
-            v = sv.s_vals[key].astype(gdt)
+            v = sv.s_vals[key].astype(gdt)  # already flat (n, dr*dc)
             vals = vals.at[jnp.asarray(csc["dst"][key]).reshape(-1)].add(
                 v.reshape(-1)
             )

@@ -33,13 +33,19 @@ def dense_from_blocks(problem, lin):
     b = np.zeros(n)
     for name, fm in problem.factor_meta.items():
         fa = problem.data.factors[name]
-        J = [np.asarray(j, dtype=np.float64) for j in lin.jacobians[name]]
+        E = fm.ftype.residual_dim
+        J = [
+            np.asarray(j, dtype=np.float64).reshape(fm.count, E, -1)
+            for j in lin.jacobians[name]
+        ]
         r = np.asarray(lin.residuals[name], dtype=np.float64)
         dL = np.asarray(lin.chi2_deriv[name], dtype=np.float64)
         P = (
-            np.asarray(fa.precision, dtype=np.float64)
+            np.asarray(fa.precision, dtype=np.float64).reshape(
+                fm.count, E, E
+            )
             if fa.precision is not None
-            else np.tile(np.eye(fm.ftype.residual_dim), (fm.count, 1, 1))
+            else np.tile(np.eye(E), (fm.count, 1, 1))
         )
         cols_base = np.asarray(fa.cols_base)
         for f in range(fm.count):
@@ -213,5 +219,5 @@ def test_coupled_jacobian_jacfwd():
     g.scale_system(False)
     problem = g.freeze()
     lin = linearize(problem, problem.params0)
-    J = np.asarray(lin.jacobians["coupled"][0][0])
+    J = np.asarray(lin.jacobians["coupled"][0][0]).reshape(2, 2)
     np.testing.assert_allclose(J, [[5.0, 2.0], [1.0, 3.0]], rtol=1e-12)

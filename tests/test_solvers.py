@@ -104,6 +104,6 @@ def test_block_jacobi_blocks_match_dense():
             continue
         c = off[v]
         np.testing.assert_allclose(
-            np.asarray(blocks[v]), Href[c:c + 2, c:c + 2],
+            np.asarray(blocks[v]).reshape(2, 2), Href[c:c + 2, c:c + 2],
             rtol=1e-10, atol=1e-12,
         )

@@ -122,8 +122,8 @@ def main():
 
     def lu_body(i, acc):
         ops = SchurOps(problem, ss, hv0, sv0)
-        y = ops.landmark_update(lin0.b, x0 + acc * 1e-30)
-        return acc + y[0] * 1e-30
+        rows = ops.landmark_update(lin0.b, x0 + acc * 1e-30)
+        return acc + next(iter(rows.values()))[0, 0] * 1e-30
 
     bench("landmark_update", loop(lu_body))
 
