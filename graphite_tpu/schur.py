@@ -217,16 +217,20 @@ def build_schur_structure(problem) -> SchurStructure:
                 gg["dst"].append(sidx)
     products = []
     for gk, gg in prod_groups.items():
+        # sort by destination S block so the scatter is a sorted segmented
+        # reduction (enables the Pallas windowed-one-hot kernel)
+        dst_arr = np.asarray(gg["dst"], dtype=np.int32)
+        order = np.argsort(dst_arr, kind="stable")
         products.append(
             dict(
                 dims=gk,
                 left_key=gg["left_key"],
                 right_key=gg["right_key"],
                 dst_key=gg["dst_key"],
-                left=np.asarray(gg["left"], dtype=np.int32),
-                right=np.asarray(gg["right"], dtype=np.int32),
-                mid=np.asarray(gg["mid"], dtype=np.int32),
-                dst=np.asarray(gg["dst"], dtype=np.int32),
+                left=np.asarray(gg["left"], dtype=np.int32)[order],
+                right=np.asarray(gg["right"], dtype=np.int32)[order],
+                mid=np.asarray(gg["mid"], dtype=np.int32)[order],
+                dst=dst_arr[order],
             )
         )
 
@@ -338,7 +342,7 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
             jnp.einsum("kab,kbc->kac", Hpl3, M3, preferred_element_type=inv_dt)
         )
 
-    for pg in ss.products:
+    for gi, pg in enumerate(ss.products):
         dpa, dl, dpb = pg["dims"]
         W = unflatten_blocks(
             hpl_w[pg["left_key"]][jnp.asarray(pg["left"])], dpa, dl
@@ -351,11 +355,40 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
             "kab,kdb->kad", W, R, preferred_element_type=inv_dt
         )
         key = pg["dst_key"]
-        s_vals[key] = s_vals[key] - jax.ops.segment_sum(
-            flatten_blocks(prod), jnp.asarray(pg["dst"]),
-            num_segments=ss.s_sizes[key],
+        s_vals[key] = s_vals[key] - _product_scatter(
+            problem, ss, gi, pg, flatten_blocks(prod), inv_dt
         )
     return SchurValues(hll_inv=hll_inv, s_vals=s_vals)
+
+
+def _use_pallas(problem, dtype) -> bool:
+    import os
+
+    if os.environ.get("GRAPHITE_TPU_NO_PALLAS"):
+        return False
+    if problem.psum_axis is not None:
+        return False  # inside shard_map: keep the portable path
+    return (jax.default_backend() not in ("cpu",)
+            and jnp.dtype(dtype) == jnp.dtype(jnp.float32))
+
+
+def _product_scatter(problem, ss, gi, pg, prod_flat, inv_dt):
+    """Destination scatter of one product group: Pallas windowed-one-hot
+    MXU kernel on TPU/f32 (dst is freeze-sorted), XLA segment_sum
+    otherwise."""
+    key = pg["dst_key"]
+    if _use_pallas(problem, inv_dt):
+        from .ops.pallas.segsum import plan_sorted_segsum, sorted_segment_sum
+
+        plans = problem._cache.setdefault("segsum_plans", {})
+        if gi not in plans:
+            plans[gi] = plan_sorted_segsum(
+                pg["dst"], ss.s_sizes[key], chunk=2048
+            )
+        return sorted_segment_sum(prod_flat, plans[gi])
+    return jax.ops.segment_sum(
+        prod_flat, jnp.asarray(pg["dst"]), num_segments=ss.s_sizes[key]
+    )
 
 
 

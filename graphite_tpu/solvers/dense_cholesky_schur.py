@@ -25,10 +25,42 @@ from .pcg_schur import SchurSolverState
 
 
 def schur_to_dense(problem, ss, sv) -> jax.Array:
-    """Dense S (dim_p x dim_p) from grouped block values (for oracles)."""
+    """Dense S (dim_p x dim_p) from grouped block values.
+
+    Fast path (single pose block dim): blocks land on a dense
+    (n_pose^2, d*d) pair grid via one inverse-permutation GATHER (each pair
+    has at most one block), then a reshape/transpose lays out the matrix —
+    no scalar scatters. Symmetrized as S = T + (T - T_bdiag)^T since block
+    storage is upper-triangular.
+    """
     n = ss.dim_p
+    inv_dt = problem.precision.inv_dtype
+    dims = set(int(d) for d in ss.pose_dims)
+    if len(dims) == 1 and len(ss.s_keys) == 1:
+        d = dims.pop()
+        key = ss.s_keys[0]
+        npb = ss.n_pose_blocks
+        cache_key = "schur_dense_map"
+        if cache_key not in problem._cache:
+            pair = ss.s_rows[key] * npb + ss.s_cols[key]
+            inv = np.full(npb * npb, ss.s_sizes[key], dtype=np.int32)
+            inv[pair] = np.arange(ss.s_sizes[key], dtype=np.int32)
+            bdiag_mask = np.zeros((npb, npb), dtype=bool)
+            np.fill_diagonal(bdiag_mask, True)
+            problem._cache[cache_key] = (inv, bdiag_mask)
+        inv, bdiag_mask = problem._cache[cache_key]
+        V = jnp.concatenate(
+            [sv.s_vals[key].astype(inv_dt),
+             jnp.zeros((1, d * d), dtype=inv_dt)], axis=0
+        )[jnp.asarray(inv)]  # (npb*npb, d*d)
+        T = V.reshape(npb, npb, d, d)
+        T_off = jnp.where(jnp.asarray(bdiag_mask)[:, :, None, None], 0.0, T)
+        full = T + jnp.swapaxes(jnp.swapaxes(T_off, 0, 1), 2, 3)
+        return full.transpose(0, 2, 1, 3).reshape(n, n)
+
+    # General fallback: scalar scatter (small problems / mixed pose dims).
     offsets = problem.block_offsets
-    S = jnp.zeros((n, n), dtype=problem.precision.inv_dtype)
+    S = jnp.zeros((n, n), dtype=inv_dt)
     for key in ss.s_keys:
         dr, dc = key
         rows, cols = ss.s_rows[key], ss.s_cols[key]

@@ -37,12 +37,23 @@ class SchurSolverState:
 
 @dataclasses.dataclass(frozen=True)
 class PCGSchurSolver:
+    """PCG on the explicit Schur system.
+
+    ``dense_matvec_limit``: when the pose system is small enough
+    (dim_p <= limit), the S block values are scattered into a dense
+    (dim_p, dim_p) matrix once per solve and the PCG matvec becomes one MXU
+    matmul — identical math, far faster than per-block gather/scatter on
+    TPU (dim_p is only 9*n_cameras for BAL). Set to 0 to force the
+    block-sparse matvec.
+    """
+
     max_iter: int = 10
     tol: float = 1.0
     rejection_ratio: float = 5.0
     preconditioner: object = dataclasses.field(
         default_factory=BlockJacobiSchurPreconditioner
     )
+    dense_matvec_limit: int = 8192
 
     def prepare(self, problem, lin: Linearization, params=None):
         hs = build_hessian_structure(problem)
@@ -66,7 +77,17 @@ class PCGSchurSolver:
         def precond(y):
             return self.preconditioner.apply(problem, ss, pstate, y)
 
-        dx_p = run_pcg(b_s, ops.s_matvec, precond, self.max_iter, self.tol,
+        if ss.dim_p <= self.dense_matvec_limit:
+            from .dense_cholesky_schur import schur_to_dense
+
+            S = schur_to_dense(problem, ss, sv)
+
+            def matvec(p):
+                return (S @ p.astype(S.dtype)).astype(gdt)
+        else:
+            matvec = ops.s_matvec
+
+        dx_p = run_pcg(b_s, matvec, precond, self.max_iter, self.tol,
                        self.rejection_ratio)
         dx_l_rows = ops.landmark_update(lin.b, dx_p)
         return ops.compose_delta(dx_p, dx_l_rows), jnp.asarray(True)
