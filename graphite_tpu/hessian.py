@@ -78,14 +78,15 @@ class HessianStructure:
     # diagonal-block lookup: for block column j, (group, idx)
     diag_group: np.ndarray  # (n_block_cols,) group index (-1 if absent)
     diag_idx: np.ndarray
-    # scalar CSC (full symmetric) export
-    csc_indptr: np.ndarray  # (dim_h+1,)
-    csc_indices: np.ndarray  # (nnz,)
-    nnz: int
+    # scalar CSC (full symmetric) export — built LAZILY by
+    # ensure_csc_structure (only host sparse-direct solvers need it)
+    csc_indptr: Optional[np.ndarray] = None  # (dim_h+1,)
+    csc_indices: Optional[np.ndarray] = None  # (nnz,)
+    nnz: int = 0
     # per group: flat scatter destinations for block entries (and their
     # transposes for off-diagonal blocks); trash entries -> nnz
-    csc_dst: Dict[Tuple[int, int], np.ndarray]  # (n_g, dr, dc) int64
-    csc_dst_t: Dict[Tuple[int, int], np.ndarray]  # transpose scatter
+    csc_dst: Optional[Dict[Tuple[int, int], np.ndarray]] = None
+    csc_dst_t: Optional[Dict[Tuple[int, int], np.ndarray]] = None
 
 
 def _block_ids_for(problem, fname: str):
@@ -196,7 +197,33 @@ def build_hessian_structure(problem) -> HessianStructure:
     diag_group = np.where(diag_found, group_of_block[diag_pos_c], -1)
     diag_idx = np.where(diag_found, index_in_group[diag_pos_c], 0)
 
-    # 5. Scalar CSC (full symmetric) structure + per-group scatter maps
+    hs = HessianStructure(
+        block_rows=block_rows,
+        block_cols=block_cols,
+        n_blocks=nb,
+        group_keys=group_keys,
+        group_of_block=group_of_block,
+        index_in_group=index_in_group,
+        group_sizes=group_counts,
+        contribs=contribs,
+        diag_group=diag_group,
+        diag_idx=diag_idx,
+    )
+    problem._cache["hessian_structure"] = hs
+    return hs
+
+
+def ensure_csc_structure(problem, hs: HessianStructure) -> HessianStructure:
+    """Build the scalar CSC export on first use (it is O(nnz) host work
+    that only the host sparse-direct solvers need)."""
+    if hs.csc_indptr is not None:
+        return hs
+    block_rows, block_cols = hs.block_rows, hs.block_cols
+    group_keys = hs.group_keys
+    group_of_block = hs.group_of_block
+    index_in_group = hs.index_in_group
+    group_counts = hs.group_sizes
+    # Scalar CSC (full symmetric) structure + per-group scatter maps
     # (csc_utils.hpp:73-193, extended to the full matrix). Entry arrays are
     # built group-vectorized: for each (dr, dc) group all direct entries,
     # then all transposed entries of its off-diagonal blocks.
@@ -265,24 +292,11 @@ def build_hessian_structure(problem) -> HessianStructure:
             csc_dst_t[key][in_group] = chunk
         cursor += n_entries
 
-    hs = HessianStructure(
-        block_rows=block_rows,
-        block_cols=block_cols,
-        n_blocks=nb,
-        group_keys=group_keys,
-        group_of_block=group_of_block,
-        index_in_group=index_in_group,
-        group_sizes=group_counts,
-        contribs=contribs,
-        diag_group=diag_group,
-        diag_idx=diag_idx,
-        csc_indptr=csc_indptr,
-        csc_indices=csc_indices,
-        nnz=nnz,
-        csc_dst=csc_dst,
-        csc_dst_t=csc_dst_t,
-    )
-    problem._cache["hessian_structure"] = hs
+    hs.csc_indptr = csc_indptr
+    hs.csc_indices = csc_indices
+    hs.nnz = nnz
+    hs.csc_dst = csc_dst
+    hs.csc_dst_t = csc_dst_t
     return hs
 
 
@@ -407,6 +421,7 @@ def apply_damping(problem, hs: HessianStructure, values: HessianValues,
 def csc_values(problem, hs: HessianStructure, values: HessianValues) -> jax.Array:
     """Scatter block values into the full-symmetric scalar CSC value array
     (csc_utils.hpp:149-193)."""
+    ensure_csc_structure(problem, hs)
     acc = problem.precision.inv_dtype
     out = jnp.zeros(hs.nnz + 1, dtype=acc)
     for key in hs.group_keys:

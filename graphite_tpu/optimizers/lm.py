@@ -61,6 +61,10 @@ class LevenbergMarquardtOptions:
     # levenberg_marquardt2 early-stop (":403-413"); None disables.
     early_stop_bad_steps: Optional[int] = None
     early_stop_relative: float = 1e-3
+    # capture a device trace of the optimization (jax.profiler) — the TPU
+    # upgrade of the reference's wall-clock-only instrumentation
+    # (levenberg_marquardt.hpp:153-163)
+    profile_dir: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -229,6 +233,15 @@ def levenberg_marquardt(problem, solver, params=None,
                         stop_flag=None) -> LMResult:
     options = options or LevenbergMarquardtOptions()
     params = params if params is not None else problem.params0
+
+    if options.profile_dir:
+        import contextlib
+        import dataclasses as _dc
+
+        inner = _dc.replace(options, profile_dir=None)
+        with jax.profiler.trace(options.profile_dir):
+            return levenberg_marquardt(problem, solver, params, inner,
+                                       stop_flag)
 
     key = ("lm", id(solver), options.use_identity,
            options.early_stop_bad_steps, options.early_stop_relative,

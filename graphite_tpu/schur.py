@@ -101,147 +101,177 @@ def build_schur_structure(problem) -> SchurStructure:
     dim_p = problem.elimination_col
     n_pose = eb
     n_lm = nb_total - eb
+    rows_h, cols_h = hs.block_rows, hs.block_cols
 
-    # --- landmark diagonal blocks by dim ---
-    lm_h_idx: Dict[int, List[int]] = {}
-    lm_col_offset: Dict[int, List[int]] = {}
-    lm_group_index = np.zeros(n_lm, dtype=np.int64)
-    lm_dim_of = np.zeros(n_lm, dtype=np.int64)
-    for l in range(n_lm):
-        j = eb + l
-        d = int(dims[j])
-        gi = hs.diag_group[j]
-        assert gi >= 0, "landmark without a diagonal block"
-        lm_h_idx.setdefault(d, []).append(int(hs.diag_idx[j]))
-        lm_col_offset.setdefault(d, []).append(int(offsets[j]))
-        lm_group_index[l] = len(lm_h_idx[d]) - 1
-        lm_dim_of[l] = d
-    lm_dims = sorted(lm_h_idx)
-
-    # --- classify H blocks ---
-    hpl_keys: List[Tuple[int, int]] = []
-    hpl_h_idx: Dict[Tuple[int, int], List[int]] = {}
-    hpl_pose: Dict[Tuple[int, int], List[int]] = {}
-    hpl_lm: Dict[Tuple[int, int], List[int]] = {}
-    hpp_blocks: List[Tuple[int, int, Tuple[int, int], int]] = []  # r, c, key, idx
-    # per landmark: list of (pose block, hpl key, hpl idx)
-    lm_attach: List[List[Tuple[int, int, int]]] = [[] for _ in range(n_lm)]
-    for i in range(hs.n_blocks):
-        r, c = int(hs.block_rows[i]), int(hs.block_cols[i])
-        key = hs.group_keys[hs.group_of_block[i]]
-        idx = int(hs.index_in_group[i])
-        if c < eb:
-            hpp_blocks.append((r, c, key, idx))
-        elif r < eb:  # pose-landmark
-            if key not in hpl_h_idx:
-                hpl_keys.append(key)
-                hpl_h_idx[key] = []
-                hpl_pose[key] = []
-                hpl_lm[key] = []
-            hpl_h_idx[key].append(idx)
-            hpl_pose[key].append(r)
-            hpl_lm[key].append(c - eb)
-            lm_attach[c - eb].append(
-                (r, hpl_keys.index(key), len(hpl_h_idx[key]) - 1)
-            )
-        # landmark-landmark off-diagonal blocks are not supported by the
-        # Schur elimination (block-diagonal Hll assumption); diagonal blocks
-        # are handled above.
-        if r >= eb and c >= eb and r != c:
-            raise ValueError(
-                "Hll is not block-diagonal: factors connect two eliminated "
-                "vertices; Schur elimination requires landmark-only factors "
-                "to be absent (as in the reference BAL setup)"
-            )
-
-    # --- S sparsity: Hpp union fill-in pairs ---
-    s_coords = set((r, c) for r, c, _, _ in hpp_blocks)
-    for l in range(n_lm):
-        ps = sorted(set(p for p, _, _ in lm_attach[l]))
-        for ai in range(len(ps)):
-            for bi in range(ai, len(ps)):
-                s_coords.add((ps[ai], ps[bi]))
-    s_list = sorted(s_coords, key=lambda rc: (rc[1], rc[0]))
-    s_index: Dict[Tuple[int, int], Tuple[Tuple[int, int], int]] = {}
-    s_keys: List[Tuple[int, int]] = []
-    s_sizes: Dict[Tuple[int, int], int] = {}
-    s_rows: Dict[Tuple[int, int], List[int]] = {}
-    s_cols: Dict[Tuple[int, int], List[int]] = {}
-    for (r, c) in s_list:
-        key = (int(dims[r]), int(dims[c]))
-        if key not in s_sizes:
-            s_keys.append(key)
-            s_sizes[key] = 0
-            s_rows[key] = []
-            s_cols[key] = []
-        s_index[(r, c)] = (key, s_sizes[key])
-        s_rows[key].append(r)
-        s_cols[key].append(c)
-        s_sizes[key] += 1
-
-    # --- Hpp copy ops grouped by H group ---
-    copy_map: Dict[Tuple[Tuple[int, int], Tuple[int, int]], Tuple[List[int], List[int]]] = {}
-    for r, c, key, idx in hpp_blocks:
-        skey, sidx = s_index[(r, c)]
-        entry = copy_map.setdefault((key, skey), ([], []))
-        entry[0].append(idx)
-        entry[1].append(sidx)
-    hpp_copy = [
-        (hkey, np.asarray(h_idx, dtype=np.int32), np.asarray(s_idx, dtype=np.int32))
-        for (hkey, skey), (h_idx, s_idx) in copy_map.items()
-    ]
-    # NB: hkey == skey for Hpp copies (same dims); keep skey implicit.
-
-    # --- triple-product lists grouped by (dpa, dl, dpb) ---
-    prod_groups: Dict[Tuple[int, int, int], dict] = {}
-    for l in range(n_lm):
-        dl = int(lm_dim_of[l])
-        attach = sorted(lm_attach[l], key=lambda e: e[0])
-        for ai in range(len(attach)):
-            pa, ka, ia = attach[ai]
-            dpa = int(dims[pa])
-            for bi in range(ai, len(attach)):
-                pb, kb, ib = attach[bi]
-                dpb = int(dims[pb])
-                gk = (dpa, dl, dpb)
-                gg = prod_groups.setdefault(
-                    gk,
-                    dict(left_key=hpl_keys[ka], right_key=hpl_keys[kb],
-                         left=[], right=[], mid=[], dst=[], dst_key=None),
-                )
-                gg["left"].append(ia)
-                gg["right"].append(ib)
-                gg["mid"].append(int(lm_group_index[l]))
-                skey, sidx = s_index[(min(pa, pb), max(pa, pb))]
-                gg["dst_key"] = skey
-                gg["dst"].append(sidx)
-    products = []
-    for gk, gg in prod_groups.items():
-        # sort by destination S block so the scatter is a sorted segmented
-        # reduction (enables the Pallas windowed-one-hot kernel)
-        dst_arr = np.asarray(gg["dst"], dtype=np.int32)
-        order = np.argsort(dst_arr, kind="stable")
-        products.append(
-            dict(
-                dims=gk,
-                left_key=gg["left_key"],
-                right_key=gg["right_key"],
-                dst_key=gg["dst_key"],
-                left=np.asarray(gg["left"], dtype=np.int32)[order],
-                right=np.asarray(gg["right"], dtype=np.int32)[order],
-                mid=np.asarray(gg["mid"], dtype=np.int32)[order],
-                dst=dst_arr[order],
-            )
+    if np.any((rows_h >= eb) & (cols_h >= eb) & (rows_h != cols_h)):
+        raise ValueError(
+            "Hll is not block-diagonal: factors connect two eliminated "
+            "vertices; Schur elimination requires landmark-only factors "
+            "to be absent (as in the reference BAL setup)"
         )
 
-    # --- S diagonal lookup ---
-    s_diag_key = np.full(n_pose, -1, dtype=np.int64)
-    s_diag_idx = np.zeros(n_pose, dtype=np.int64)
-    for p in range(n_pose):
-        if (p, p) in s_index:
-            key, idx = s_index[(p, p)]
-            s_diag_key[p] = s_keys.index(key)
-            s_diag_idx[p] = idx
+    def _cumcount(group_ids, n_groups):
+        """Rank within group, preserving order."""
+        counts = np.bincount(group_ids, minlength=n_groups)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        out = np.empty(group_ids.shape[0], dtype=np.int64)
+        perm = np.argsort(group_ids, kind="stable")
+        out[perm] = np.arange(group_ids.shape[0]) - np.repeat(starts, counts)
+        return out
+
+    # --- landmark diagonal blocks by dim (vectorized) ---
+    lm_j = np.arange(eb, nb_total)
+    lm_dim_of = dims[lm_j].astype(np.int64)
+    lm_dims = sorted(set(int(d) for d in np.unique(lm_dim_of)))
+    lm_h_idx: Dict[int, np.ndarray] = {}
+    lm_col_offset: Dict[int, np.ndarray] = {}
+    dim_rank = {d: i for i, d in enumerate(lm_dims)}
+    lm_group_index = _cumcount(
+        np.asarray([dim_rank[int(d)] for d in lm_dim_of]), len(lm_dims)
+    )
+    for d in lm_dims:
+        sel = lm_j[lm_dim_of == d]
+        assert np.all(hs.diag_group[sel] >= 0), "landmark without a diagonal block"
+        lm_h_idx[d] = hs.diag_idx[sel].astype(np.int32)
+        lm_col_offset[d] = offsets[sel].astype(np.int64)
+
+    # --- classify H blocks (vectorized) ---
+    is_hpp = cols_h < eb
+    is_hpl = (~is_hpp) & (rows_h < eb)
+    hpl_sel = np.nonzero(is_hpl)[0]  # CSC order: sorted by (lm, pose)
+    hpl_dims_r = dims[rows_h[hpl_sel]]
+    hpl_dims_c = dims[cols_h[hpl_sel]]
+    hpl_code = hpl_dims_r * 100000 + hpl_dims_c
+    hpl_keys: List[Tuple[int, int]] = []
+    hpl_h_idx: Dict[Tuple[int, int], np.ndarray] = {}
+    hpl_pose: Dict[Tuple[int, int], np.ndarray] = {}
+    hpl_lm: Dict[Tuple[int, int], np.ndarray] = {}
+    key_id_of = np.zeros(hpl_sel.shape[0], dtype=np.int64)
+    idx_in_key = np.zeros(hpl_sel.shape[0], dtype=np.int64)
+    for code in np.unique(hpl_code):
+        key = (int(code // 100000), int(code % 100000))
+        m = hpl_code == code
+        sel = hpl_sel[m]
+        ki = len(hpl_keys)
+        hpl_keys.append(key)
+        hpl_h_idx[key] = hs.index_in_group[sel].astype(np.int32)
+        hpl_pose[key] = rows_h[sel].astype(np.int64)
+        hpl_lm[key] = (cols_h[sel] - eb).astype(np.int64)
+        key_id_of[m] = ki
+        idx_in_key[m] = np.arange(sel.shape[0])
+
+    # --- per-landmark attach lists, sorted by (lm, pose) (vectorized) ---
+    att_lm = cols_h[hpl_sel] - eb
+    att_pose = rows_h[hpl_sel]
+    att_order = np.lexsort((att_pose, att_lm))
+    att_lm_s = att_lm[att_order]
+    att_pose_s = att_pose[att_order]
+    att_key_s = key_id_of[att_order]
+    att_idx_s = idx_in_key[att_order]
+    counts = np.bincount(att_lm_s, minlength=n_lm)
+    seg_off = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    # all pose pairs (a <= b) per landmark via triangular decoding
+    npairs = counts * (counts + 1) // 2
+    total_pairs = int(npairs.sum())
+    pair_lm = np.repeat(np.arange(n_lm), npairs)
+    pair_off = np.concatenate([[0], np.cumsum(npairs)[:-1]])
+    p_local = np.arange(total_pairs) - np.repeat(pair_off, npairs)
+    jj = ((np.sqrt(8.0 * p_local + 1.0) - 1.0) // 2).astype(np.int64)
+    # guard float roundoff at triangular boundaries
+    jj = np.where(jj * (jj + 1) // 2 > p_local, jj - 1, jj)
+    jj = np.where((jj + 1) * (jj + 2) // 2 <= p_local, jj + 1, jj)
+    ii = p_local - jj * (jj + 1) // 2
+    ai = seg_off[pair_lm] + ii
+    bi = seg_off[pair_lm] + jj
+    pose_a = att_pose_s[ai]
+    pose_b = att_pose_s[bi]
+
+    # --- S sparsity: union of Hpp coords and fill-in pairs ---
+    hpp_sel = np.nonzero(is_hpp)[0]
+    hpp_codes = cols_h[hpp_sel] * n_pose + rows_h[hpp_sel]
+    pair_codes = pose_b * n_pose + pose_a
+    s_codes = np.unique(np.concatenate([hpp_codes, pair_codes]))
+    s_rows_all = (s_codes % n_pose).astype(np.int64)
+    s_cols_all = (s_codes // n_pose).astype(np.int64)
+    ns_total = s_codes.shape[0]
+    s_dim_code = dims[s_rows_all] * 100000 + dims[s_cols_all]
+    uniq_sdims, s_group_of = np.unique(s_dim_code, return_inverse=True)
+    s_keys = [(int(c // 100000), int(c % 100000)) for c in uniq_sdims]
+    s_index_in_group = _cumcount(s_group_of, len(s_keys))
+    s_sizes = {
+        key: int(c)
+        for key, c in zip(s_keys, np.bincount(s_group_of,
+                                              minlength=len(s_keys)))
+    }
+    s_rows = {key: s_rows_all[s_group_of == gi]
+              for gi, key in enumerate(s_keys)}
+    s_cols = {key: s_cols_all[s_group_of == gi]
+              for gi, key in enumerate(s_keys)}
+
+    def s_lookup(codes):
+        pos = np.searchsorted(s_codes, codes)
+        return s_index_in_group[pos], s_group_of[pos]
+
+    # --- Hpp copy ops grouped by H group (vectorized) ---
+    hpp_copy = []
+    hpp_dims_code = (dims[rows_h[hpp_sel]] * 100000 + dims[cols_h[hpp_sel]])
+    hpp_s_idx, _ = s_lookup(hpp_codes)
+    for code in np.unique(hpp_dims_code):
+        key = (int(code // 100000), int(code % 100000))
+        m = hpp_dims_code == code
+        hpp_copy.append(
+            (key, hs.index_in_group[hpp_sel[m]].astype(np.int32),
+             hpp_s_idx[m].astype(np.int32))
+        )
+
+    # --- triple products grouped by (dpa, dl, dpb), dst-sorted + chunked ---
+    dpa_all = dims[pose_a]
+    dpb_all = dims[pose_b]
+    dl_all = lm_dim_of[pair_lm]
+    tri_code = (dpa_all * 100000 + dl_all) * 100000 + dpb_all
+    dst_idx_all, dst_group_all = s_lookup(pair_codes)
+    # Bound the transient (K, dpa*dpb) product buffer: split big groups into
+    # chunks (each still dst-sorted). 2^19 products x 81 floats ~ 170 MB.
+    max_chunk = 1 << 19
+    products = []
+    for code in np.unique(tri_code):
+        m = tri_code == code
+        dpa = int(code // (100000 * 100000))
+        dl = int((code // 100000) % 100000)
+        dpb = int(code % 100000)
+        lkeys = att_key_s[ai[m]]
+        rkeys = att_key_s[bi[m]]
+        assert np.all(lkeys == lkeys[0]) and np.all(rkeys == rkeys[0])
+        dst_g = dst_group_all[m]
+        assert np.all(dst_g == dst_g[0])
+        dst_key = s_keys[int(dst_g[0])]
+        left = att_idx_s[ai[m]].astype(np.int32)
+        right = att_idx_s[bi[m]].astype(np.int32)
+        mid = lm_group_index[pair_lm[m]].astype(np.int32)
+        dst = dst_idx_all[m].astype(np.int32)
+        order = np.argsort(dst, kind="stable")
+        left, right, mid, dst = left[order], right[order], mid[order], dst[order]
+        for lo in range(0, len(dst), max_chunk):
+            hi = min(lo + max_chunk, len(dst))
+            products.append(
+                dict(
+                    dims=(dpa, dl, dpb),
+                    left_key=hpl_keys[int(lkeys[0])],
+                    right_key=hpl_keys[int(rkeys[0])],
+                    dst_key=dst_key,
+                    left=left[lo:hi], right=right[lo:hi],
+                    mid=mid[lo:hi], dst=dst[lo:hi],
+                )
+            )
+
+    # --- S diagonal lookup (vectorized) ---
+    diag_codes = np.arange(n_pose) * n_pose + np.arange(n_pose)
+    pos = np.searchsorted(s_codes, diag_codes)
+    pos_c = np.clip(pos, 0, max(ns_total - 1, 0))
+    found = (ns_total > 0) & (s_codes[pos_c] == diag_codes)
+    s_diag_key = np.where(found, s_group_of[pos_c], -1).astype(np.int64)
+    s_diag_idx = np.where(found, s_index_in_group[pos_c], 0).astype(np.int64)
 
     # --- block -> (type, row) for row-shaped vector IO ---
     block_type = [problem.block_vertex[j][0] for j in range(nb_total)]
@@ -259,19 +289,18 @@ def build_schur_structure(problem) -> SchurStructure:
         pose_offsets=offsets[: n_pose + 1].copy(),
         pose_dims=dims[:n_pose].copy(),
         lm_dims=lm_dims,
-        lm_h_idx={d: np.asarray(v, dtype=np.int32) for d, v in lm_h_idx.items()},
-        lm_col_offset={d: np.asarray(v, dtype=np.int64)
-                       for d, v in lm_col_offset.items()},
+        lm_h_idx=lm_h_idx,
+        lm_col_offset=lm_col_offset,
         lm_group_index=lm_group_index,
         lm_dim_of=lm_dim_of,
         hpl_keys=hpl_keys,
-        hpl_h_idx={k: np.asarray(v, dtype=np.int32) for k, v in hpl_h_idx.items()},
-        hpl_pose={k: np.asarray(v, dtype=np.int64) for k, v in hpl_pose.items()},
-        hpl_lm={k: np.asarray(v, dtype=np.int64) for k, v in hpl_lm.items()},
+        hpl_h_idx=hpl_h_idx,
+        hpl_pose=hpl_pose,
+        hpl_lm=hpl_lm,
         s_keys=s_keys,
         s_sizes=s_sizes,
-        s_rows={k: np.asarray(v, dtype=np.int64) for k, v in s_rows.items()},
-        s_cols={k: np.asarray(v, dtype=np.int64) for k, v in s_cols.items()},
+        s_rows=s_rows,
+        s_cols=s_cols,
         hpp_copy=hpp_copy,
         products=products,
         s_diag_key=s_diag_key,
