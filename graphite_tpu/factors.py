@@ -239,6 +239,15 @@ class FactorSet:
         """
         self.store_jacobians = bool(store)
 
+    def clear(self) -> None:
+        """Drop all factors (factor clear test, tests/factor.cu:803)."""
+        for lst in (self.ids, self.obs, self.data, self.precision,
+                    self.loss_params, self.level, self.handles):
+            lst.clear()
+        self._handle_to_index.clear()
+        self._free_handles.clear()
+        self._next_handle = 0
+
     # ---- freeze-time array exports -------------------------------------
     def ids_array(self) -> np.ndarray:
         if not self.ids:

@@ -237,6 +237,23 @@ class Problem:
     def get_elimination_block_column(self) -> int:
         return self.elimination_block
 
+    def get_vertex(self, params, vtype_name: str, global_id: int):
+        """Read one vertex's optimized parameters by its user global id
+        (reference ``VertexDescriptor::get_vertex``, circle.cu:168)."""
+        local = self.host_local_index(vtype_name, global_id)
+        return params[vtype_name][local]
+
+    def host_local_index(self, vtype_name: str, global_id: int) -> int:
+        idx = self._cache.setdefault("id_maps", {})
+        if vtype_name not in idx:
+            idx[vtype_name] = dict(self._id_map_source(vtype_name))
+        return idx[vtype_name][global_id]
+
+    def _id_map_source(self, vtype_name: str):
+        # rebuilt from host structure: global ids were consumed at freeze;
+        # Graph keeps them — stash on freeze below
+        return self.host.global_id_maps[vtype_name].items()
+
     def residual_sizes(self) -> Dict[str, int]:
         return {
             name: fm.count * fm.ftype.residual_dim
@@ -257,6 +274,7 @@ class HostStructure:
     factor_ids: Dict[str, np.ndarray]  # (F, N) local indices
     factor_mask: Dict[str, np.ndarray]
     slot_mask: Dict[str, np.ndarray]
+    global_id_maps: Dict[str, dict] = dataclasses.field(default_factory=dict)
 
 
 class Graph:
@@ -554,6 +572,10 @@ class Graph:
             factor_ids=factor_ids_local,
             factor_mask=factor_mask,
             slot_mask=slot_mask_h,
+            global_id_maps={
+                name: dict(vs.id_to_local)
+                for name, vs in self.vertex_sets.items()
+            },
         )
 
         problem = Problem(

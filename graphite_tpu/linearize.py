@@ -336,29 +336,74 @@ def compute_chi2(problem: Problem, params) -> jax.Array:
 # Matrix-free products (ops/product.hpp)
 # --------------------------------------------------------------------------
 
-def _block_jacobians(problem: Problem, lin: Linearization, params, name: str):
-    """Stored-or-recomputed scaled Jacobians for one factor block.
+def _dynamic_residual_fn(problem: Problem, params, name: str):
+    """g(deltas) = residual(retract(params, deltas)) for one factor block,
+    vmapped — the linearization point for jvp/vjp-based dynamic matvecs."""
+    fm = problem.factor_meta[name]
+    fa = problem.data.factors[name]
+    ftype = fm.ftype
+    gathered = _gather_params(problem, params, name)
+    tail, tail_axes = _call_args(fa)
+    n = ftype.arity
 
-    Dynamic (storage-free) mode recomputes J like the reference's
-    ``*_dynamic_*`` kernels (ops/product.hpp:101-142, factor.hpp:632-650)
-    under ``jax.checkpoint``-style rematerialization.
-    """
-    J = lin.jacobians[name]
-    if J is not None:
-        return J
-    if params is None:
-        raise ValueError(
-            f"factor block '{name}' uses dynamic Jacobians; pass params to "
-            "the matvec"
+    def one(*args):
+        deltas = args[:n]
+        ps = args[n:2 * n]
+        rest = args[2 * n:]
+        xs = tuple(
+            vt.retract(p, d)
+            for vt, p, d in zip(ftype.vertex_types, ps, deltas)
         )
+        return jnp.asarray(ftype.residual_fn(*xs, *rest)).reshape(
+            ftype.residual_dim
+        )
+
+    batched = jax.vmap(one, in_axes=(0,) * (2 * n) + tail_axes)
+
+    def g(deltas):
+        return batched(*deltas, *gathered, *tail)
+
+    gdt = problem.precision.graph_dtype
+    zeros = tuple(
+        jnp.zeros((fm_count_of(problem, name), vt.dim), dtype=gdt)
+        for vt in ftype.vertex_types
+    )
+    return g, zeros
+
+
+def fm_count_of(problem, name):
+    return problem.data.factors[name].factor_mask.shape[0]
+
+
+def _dynamic_Jv_block(problem, lin, params, name, x_rows, acc):
+    """J x for one dynamic block via jvp (scaled + masked tangents)."""
     fa = problem.data.factors[name]
     fm = problem.factor_meta[name]
-    _, Jr = _residual_and_jacobian_block(problem, params, name)
+    g, zeros = _dynamic_residual_fn(problem, params, name)
+    deltas = []
+    for s, vt in enumerate(fm.ftype.vertex_types):
+        xg = x_rows[vt.name][fa.rows[s]]
+        si = problem.rows_view_padded(lin.scales, vt.name)[fa.rows[s]]
+        d = (xg * si) * fa.slot_mask[:, s, None].astype(xg.dtype)
+        deltas.append(d.astype(zeros[s].dtype))
+    _, out = jax.jvp(g, (zeros,), (tuple(deltas),))
+    return out.astype(acc)
+
+
+def _dynamic_JtPv_block(problem, lin, params, name, w, acc):
+    """Per-slot J^T w for one dynamic block via vjp (scaled + masked)."""
+    fa = problem.data.factors[name]
+    fm = problem.factor_meta[name]
+    g, zeros = _dynamic_residual_fn(problem, params, name)
+    _, pullback = jax.vjp(g, zeros)
+    (grads,) = pullback(w.astype(zeros[0].dtype))
     out = []
     for s, vt in enumerate(fm.ftype.vertex_types):
-        Ji = Jr[s] * fa.slot_mask[:, s, None, None].astype(Jr[s].dtype)
         si = problem.rows_view_padded(lin.scales, vt.name)[fa.rows[s]]
-        out.append(flatten_blocks(Ji * si[:, None, :].astype(Ji.dtype)))
+        out.append(
+            (grads[s] * si * fa.slot_mask[:, s, None].astype(si.dtype)
+             ).astype(acc)
+        )
     return tuple(out)
 
 
@@ -377,10 +422,23 @@ def Jv(problem: Problem, lin: Linearization, x: jax.Array,
     out = {}
     for name, fm in problem.factor_meta.items():
         fa = problem.data.factors[name]
-        J = _block_jacobians(problem, lin, params, name)
+        J = lin.jacobians[name]
+        if J is None:
+            # dynamic mode: jvp through the residual — J is never
+            # materialized (the reference's storage-free kernels,
+            # ops/product.hpp:101-142)
+            if params is None:
+                raise ValueError(
+                    f"factor block '{name}' uses dynamic Jacobians; pass "
+                    "params to the matvec"
+                )
+            out[name] = _dynamic_Jv_block(
+                problem, lin, params, name, x_rows, acc
+            ).astype(gdt)
+            continue
+        E = fm.ftype.residual_dim
         # J[0].shape[0] is the local factor count (== fm.count single-device,
         # == fm.count / n_devices inside a factor-sharded shard_map).
-        E = fm.ftype.residual_dim
         y = jnp.zeros((J[0].shape[0], E), dtype=acc)
         for s, vt in enumerate(fm.ftype.vertex_types):
             xg = x_rows[vt.name][fa.rows[s]].astype(acc)  # (F, d) row gather
@@ -398,10 +456,29 @@ def JtPv(problem: Problem, lin: Linearization, v: Dict[str, jax.Array],
     acc = problem.precision.acc_dtype
     gdt = problem.precision.graph_dtype
     out_rows: Dict[str, jax.Array] = {}
+
+    def accumulate(vt_name, rows_idx, contrib):
+        acc_rows = jax.ops.segment_sum(
+            contrib.astype(gdt), rows_idx,
+            num_segments=problem.seg_rows[vt_name] + 1,
+        )[:-1]
+        prev = out_rows.get(vt_name)
+        out_rows[vt_name] = acc_rows if prev is None else prev + acc_rows
+
     for name, fm in problem.factor_meta.items():
         fa = problem.data.factors[name]
-        J = _block_jacobians(problem, lin, params, name)
+        J = lin.jacobians[name]
         w = _weighted_residual(fa, v[name], acc) * lin.chi2_deriv[name][:, None]
+        if J is None:
+            if params is None:
+                raise ValueError(
+                    f"factor block '{name}' uses dynamic Jacobians; pass "
+                    "params to the matvec"
+                )
+            contribs = _dynamic_JtPv_block(problem, lin, params, name, w, acc)
+            for s, vt in enumerate(fm.ftype.vertex_types):
+                accumulate(vt.name, fa.rows[s], contribs[s])
+            continue
         E = fm.ftype.residual_dim
         for s, vt in enumerate(fm.ftype.vertex_types):
             J3 = unflatten_blocks(J[s], E, vt.dim).astype(acc)
@@ -409,12 +486,7 @@ def JtPv(problem: Problem, lin: Linearization, v: Dict[str, jax.Array],
                 "fec,fe->fc", J3, w.astype(acc),
                 preferred_element_type=acc,
             )
-            acc_rows = jax.ops.segment_sum(
-                contrib.astype(gdt), fa.rows[s],
-                num_segments=problem.seg_rows[vt.name] + 1,
-            )[:-1]
-            prev = out_rows.get(vt.name)
-            out_rows[vt.name] = acc_rows if prev is None else prev + acc_rows
+            accumulate(vt.name, fa.rows[s], contrib)
     return problem.allreduce(problem.flat_from_rows(out_rows))
 
 

@@ -57,14 +57,14 @@ class HuberLoss(Loss):
     def value(self, x, params):
         d = params
         d2 = d * d
-        # Guard sqrt at x==0 (only reachable on the unused branch).
-        safe = jnp.sqrt(jnp.maximum(x, d2))
+        # Guard sqrt at x==0 / delta==0 (only reachable on unused branches).
+        safe = jnp.sqrt(jnp.maximum(x, jnp.maximum(d2, 1e-30)))
         return jnp.where(x <= d2, x, 2.0 * safe * d - d2)
 
     def derivative(self, x, params):
         d = params
         d2 = d * d
-        safe = jnp.sqrt(jnp.maximum(x, d2))
+        safe = jnp.sqrt(jnp.maximum(x, jnp.maximum(d2, 1e-30)))
         return jnp.where(x <= d2, jnp.ones_like(x), d / safe)
 
     def default_param(self) -> float:

@@ -89,6 +89,12 @@ class Precision:
             "bfloat16": jnp.bfloat16,
             "float16": jnp.float16,
         }
+        for name in (graph, solver):
+            if name.lower() not in m:
+                raise ValueError(
+                    f"unknown precision '{name}'; expected one of "
+                    f"{sorted(set(m))}"
+                )
         return Precision(m[graph.lower()], m[solver.lower()])
 
 

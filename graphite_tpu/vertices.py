@@ -159,6 +159,13 @@ class VertexSet:
     def get(self, global_id: int) -> np.ndarray:
         return self.values[self.id_to_local[global_id]]
 
+    def clear(self) -> None:
+        """Drop all vertices (vertex.hpp clear test, tests/vertex.cu:343)."""
+        self.values.clear()
+        self.global_ids.clear()
+        self.id_to_local.clear()
+        self.fixed.clear()
+
     def values_array(self) -> np.ndarray:
         if not self.values:
             return np.zeros((0, self.vtype.ambient_dim))
