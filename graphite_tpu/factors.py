@@ -136,11 +136,12 @@ class FactorSet:
     _handle_to_index: dict = dataclasses.field(default_factory=dict)
     _next_handle: int = 0
     _free_handles: list = dataclasses.field(default_factory=list)
+    _bulk: list = dataclasses.field(default_factory=list)  # columnar chunks
     store_jacobians: bool = True
 
     @property
     def count(self) -> int:
-        return len(self.ids)
+        return len(self.ids) + sum(c["ids"].shape[0] for c in self._bulk)
 
     def add(
         self,
@@ -158,6 +159,7 @@ class FactorSet:
             )
         if not (0 <= level <= MAX_LEVEL):
             raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
+        self._materialize_bulk()  # keep insertion order coherent
         idx = len(self.ids)
         self.ids.append(tuple(int(i) for i in vertex_ids))
         self.obs.append(None if obs is None else np.asarray(obs, dtype=np.float64))
@@ -179,33 +181,68 @@ class FactorSet:
         return handle
 
     def add_batch(self, vertex_ids, obs=None, precision=None, data=None,
-                  loss_params=None, levels=None) -> list:
-        vertex_ids = np.asarray(vertex_ids)
-        n = vertex_ids.shape[0]
+                  loss_params=None, levels=None) -> np.ndarray:
+        """Columnar bulk add: O(1) in Python, arrays stored as one chunk.
 
-        def pick(arr, i):
-            if arr is None:
-                return None
-            return np.asarray(arr)[i]
-
-        handles = []
-        for i in range(n):
-            handles.append(
-                self.add(
-                    vertex_ids[i],
-                    obs=pick(obs, i),
-                    precision=pick(precision, i),
-                    data=pick(data, i),
-                    loss_param=None if loss_params is None else float(
-                        np.asarray(loss_params)[i]
-                    ),
-                    level=0 if levels is None else int(np.asarray(levels)[i]),
-                )
+        Returns the handles (a contiguous range). Bulk chunks are
+        materialized into the per-item lists lazily on the first mutating
+        per-item operation (remove/set_active), so pure build-then-freeze
+        workflows (e.g. 5M-observation BAL ingestion) never pay per-item
+        Python cost.
+        """
+        vertex_ids = np.asarray(vertex_ids, dtype=np.int64)
+        if vertex_ids.ndim != 2 or vertex_ids.shape[1] != self.ftype.arity:
+            raise ValueError(
+                f"vertex_ids must be (n, {self.ftype.arity}); got "
+                f"{vertex_ids.shape}"
             )
+        n = vertex_ids.shape[0]
+        chunk = dict(
+            ids=vertex_ids,
+            obs=None if obs is None else np.asarray(obs, dtype=np.float64),
+            data=None if data is None else np.asarray(data, dtype=np.float64),
+            precision=(None if precision is None
+                       else np.asarray(precision, dtype=np.float64)),
+            loss_params=(
+                np.full(n, self.ftype.loss.default_param())
+                if loss_params is None
+                else np.asarray(loss_params, dtype=np.float64)
+            ),
+            levels=(np.zeros(n, dtype=np.int64) if levels is None
+                    else np.asarray(levels, dtype=np.int64)),
+        )
+        for field in ("obs", "data", "precision", "loss_params", "levels"):
+            arr = chunk[field]
+            if arr is not None and arr.shape[0] != n:
+                raise ValueError(f"{field} first dim must be {n}")
+        handles = np.arange(self._next_handle, self._next_handle + n)
+        chunk["handles"] = handles
+        self._next_handle += n
+        self._bulk.append(chunk)
         return handles
+
+    def _materialize_bulk(self) -> None:
+        """Flush columnar chunks into the per-item lists (for mutation)."""
+        if not self._bulk:
+            return
+        for chunk in self._bulk:
+            n = chunk["ids"].shape[0]
+            start = len(self.ids)
+            self.ids.extend(map(tuple, chunk["ids"].tolist()))
+            obs, data, prec = chunk["obs"], chunk["data"], chunk["precision"]
+            self.obs.extend([None] * n if obs is None else list(obs))
+            self.data.extend([None] * n if data is None else list(data))
+            self.precision.extend([None] * n if prec is None else list(prec))
+            self.loss_params.extend(chunk["loss_params"].tolist())
+            self.level.extend(chunk["levels"].tolist())
+            self.handles.extend(chunk["handles"].tolist())
+            for i, h in enumerate(chunk["handles"].tolist()):
+                self._handle_to_index[h] = start + i
+        self._bulk.clear()
 
     def remove(self, handle: int) -> None:
         """Swap-with-last removal (factor.hpp:308-371)."""
+        self._materialize_bulk()
         idx = self._handle_to_index.pop(handle)
         last = len(self.ids) - 1
         if idx != last:
@@ -221,6 +258,7 @@ class FactorSet:
     def set_active(self, handle: int, level_byte: int) -> None:
         """Set the reference-style active byte: bits 0-6 = level, MSB =
         disabled (active.hpp:11-15)."""
+        self._materialize_bulk()
         idx = self._handle_to_index[handle]
         self.level[idx] = int(level_byte)
 
@@ -244,28 +282,52 @@ class FactorSet:
         for lst in (self.ids, self.obs, self.data, self.precision,
                     self.loss_params, self.level, self.handles):
             lst.clear()
+        self._bulk.clear()
         self._handle_to_index.clear()
         self._free_handles.clear()
         self._next_handle = 0
 
     # ---- freeze-time array exports -------------------------------------
+    def _concat(self, items, bulk_field, default_shape=None):
+        parts = []
+        if items:
+            parts.append(np.stack([np.asarray(o) for o in items], axis=0))
+        for c in self._bulk:
+            if c[bulk_field] is not None:
+                parts.append(np.asarray(c[bulk_field]))
+        if not parts:
+            return None
+        return np.concatenate(parts, axis=0)
+
     def ids_array(self) -> np.ndarray:
-        if not self.ids:
+        out = self._concat(self.ids, "ids")
+        if out is None:
             return np.zeros((0, self.ftype.arity), dtype=np.int64)
-        return np.asarray(self.ids, dtype=np.int64)
+        return out.astype(np.int64)
 
     def level_array(self) -> np.ndarray:
-        return np.asarray(self.level, dtype=np.int64)
+        parts = [np.asarray(self.level, dtype=np.int64)]
+        parts += [c["levels"] for c in self._bulk]
+        return np.concatenate(parts).astype(np.int64)
 
     def obs_array(self) -> Optional[np.ndarray]:
-        if not self.obs or self.obs[0] is None:
+        if self.obs and self.obs[0] is None:
             return None
-        return np.stack([np.asarray(o) for o in self.obs], axis=0)
+        if not self.obs and all(c["obs"] is None for c in self._bulk):
+            return None
+        return self._concat(self.obs, "obs")
 
     def data_array(self) -> Optional[np.ndarray]:
-        if not self.data or self.data[0] is None:
+        if self.data and self.data[0] is None:
             return None
-        return np.stack([np.asarray(d) for d in self.data], axis=0)
+        if not self.data and all(c["data"] is None for c in self._bulk):
+            return None
+        return self._concat(self.data, "data")
+
+    def has_precision(self) -> bool:
+        return any(p is not None for p in self.precision) or any(
+            c["precision"] is not None for c in self._bulk
+        )
 
     def precision_array(self) -> np.ndarray:
         """Per-factor E x E precision; identity when unset (factor.hpp:864)."""
@@ -274,7 +336,19 @@ class FactorSet:
         eye = np.eye(e)
         for i, p in enumerate(self.precision):
             out[i] = eye if p is None else np.asarray(p).reshape(e, e)
+        cursor = len(self.precision)
+        for c in self._bulk:
+            n = c["ids"].shape[0]
+            if c["precision"] is None:
+                out[cursor:cursor + n] = eye
+            else:
+                out[cursor:cursor + n] = np.asarray(c["precision"]).reshape(
+                    n, e, e
+                )
+            cursor += n
         return out
 
     def loss_params_array(self) -> np.ndarray:
-        return np.asarray(self.loss_params, dtype=np.float64)
+        parts = [np.asarray(self.loss_params, dtype=np.float64)]
+        parts += [c["loss_params"] for c in self._bulk]
+        return np.concatenate(parts)

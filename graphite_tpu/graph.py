@@ -406,13 +406,8 @@ class Graph:
         # gathers/scatters are ~6x faster than flat scalar indexing on TPU.
         # The semantic invariant (eliminated descriptors occupy the trailing
         # columns) is preserved.
-        type_order = {name: i for i, name in enumerate(self.vertex_sets)}
-        entries = []
-        for name, vs in self.vertex_sets.items():
-            elim = vs.eliminate
-            for local, gid in enumerate(vs.global_ids):
-                entries.append((bool(elim), type_order[name], gid, name, local))
-        entries.sort(key=lambda e: (e[0], e[1], e[2]))
+        type_names = list(self.vertex_sets)
+        type_order = {name: i for i, name in enumerate(type_names)}
 
         col = 0
         block_id = 0
@@ -434,32 +429,70 @@ class Graph:
         }
         seg_start: Dict[str, int] = {}
         seg_rows: Dict[str, int] = {}
-        row_vertex: Dict[str, list] = {name: [] for name in self.vertex_sets}
+        row_vertex: Dict[str, np.ndarray] = {}
         segment_order: List[str] = []
-        for elim, _torder, gid, name, local in entries:
-            if not vertex_active[name][local]:
-                continue
-            if elim and elimination_block is None:
-                elimination_block = block_id
-            d = self.vertex_sets[name].vtype.dim
-            if name not in seg_start:
-                seg_start[name] = col
+
+        # Vectorized column assignment: concatenate per-type vertex arrays,
+        # globally sort by (eliminated, type, global_id), then exclusive-scan
+        # the active dims.
+        elim_cat, torder_cat, gid_cat, local_cat, active_cat, dim_cat = (
+            [], [], [], [], [], []
+        )
+        for name, vs in self.vertex_sets.items():
+            n = vs.count
+            elim_cat.append(np.full(n, bool(vs.eliminate)))
+            torder_cat.append(np.full(n, type_order[name], dtype=np.int64))
+            gid_cat.append(np.asarray(vs.global_ids, dtype=np.int64))
+            local_cat.append(np.arange(n, dtype=np.int64))
+            active_cat.append(vertex_active[name])
+            dim_cat.append(np.full(n, vs.vtype.dim, dtype=np.int64))
+        elim_cat = np.concatenate(elim_cat)
+        torder_cat = np.concatenate(torder_cat)
+        gid_cat = np.concatenate(gid_cat)
+        local_cat = np.concatenate(local_cat)
+        active_cat = np.concatenate(active_cat)
+        dim_cat = np.concatenate(dim_cat)
+
+        order = np.lexsort((gid_cat, torder_cat, elim_cat))
+        sel = order[active_cat[order]]
+        n_active_total = sel.shape[0]
+        dims_sel = dim_cat[sel]
+        col_sel = np.concatenate([[0], np.cumsum(dims_sel)[:-1]]).astype(
+            np.int64
+        )
+        dim_h = int(dims_sel.sum())
+        block_ids_sel = np.arange(n_active_total, dtype=np.int64)
+        elim_sel = elim_cat[sel]
+        if np.any(elim_sel):
+            elimination_block = int(np.argmax(elim_sel))
+        block_offsets = col_sel.tolist()
+        block_dims = dims_sel.tolist()
+        block_id = n_active_total
+        col = dim_h
+
+        # scatter results back per type + segment bookkeeping
+        torder_sel = torder_cat[sel]
+        local_sel = local_cat[sel]
+        block_vertex = [None] * n_active_total
+        for ti, name in enumerate(type_names):
+            m = torder_sel == ti
+            if not np.any(m):
+                seg_start[name] = dim_h
                 seg_rows[name] = 0
-                segment_order.append(name)
-            vertex_col_offset[name][local] = col
-            vertex_block_id[name][local] = block_id
-            vertex_active_row[name][local] = seg_rows[name]
-            seg_rows[name] += 1
-            row_vertex[name].append(local)
-            block_offsets.append(col)
-            block_vertex.append((name, local))
-            block_dims.append(d)
-            col += d
-            block_id += 1
-        dim_h = col
-        for name in self.vertex_sets:
-            seg_start.setdefault(name, dim_h)
-            seg_rows.setdefault(name, 0)
+                row_vertex[name] = np.zeros(0, dtype=np.int64)
+                continue
+            locs = local_sel[m]
+            vertex_col_offset[name][locs] = col_sel[m]
+            vertex_block_id[name][locs] = block_ids_sel[m]
+            vertex_active_row[name][locs] = np.arange(locs.shape[0])
+            seg_start[name] = int(col_sel[m][0])
+            seg_rows[name] = int(locs.shape[0])
+            row_vertex[name] = locs
+            segment_order.append(name)
+            first_block = int(block_ids_sel[m][0])
+            for k, loc in enumerate(locs.tolist()):
+                block_vertex[first_block + k] = (name, loc)
+        segment_order.sort(key=lambda n: seg_start[n])
         block_offsets.append(dim_h)
         if elimination_block is None:
             elimination_block = block_id
@@ -522,7 +555,7 @@ class Graph:
 
             obs = _pad_rows(fs.obs_array(), n)
             data = _pad_rows(fs.data_array(), n)
-            has_p = any(p is not None for p in fs.precision)
+            has_p = fs.has_precision()
             fdata[name] = FactorArrays(
                 ids=tuple(
                     jnp.asarray(local[:, s], dtype=jnp.int32)

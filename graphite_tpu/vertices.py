@@ -123,11 +123,29 @@ class VertexSet:
         return local
 
     def add_batch(self, global_ids, values) -> np.ndarray:
+        """Bulk add (vectorized bookkeeping for million-vertex ingestion)."""
         values = np.asarray(values, dtype=np.float64)
-        out = np.empty(len(global_ids), dtype=np.int64)
-        for i, (gid, v) in enumerate(zip(global_ids, values)):
-            out[i] = self.add(int(gid), v)
-        return out
+        global_ids = np.asarray(global_ids, dtype=np.int64)
+        n = global_ids.shape[0]
+        if values.shape != (n, self.vtype.ambient_dim):
+            raise ValueError(
+                f"values must be ({n}, {self.vtype.ambient_dim}); got "
+                f"{values.shape}"
+            )
+        if len(np.unique(global_ids)) != n:
+            raise KeyError("duplicate vertex ids in batch")
+        if self.id_to_local:
+            clash = set(self.id_to_local).intersection(global_ids.tolist())
+            if clash:
+                raise KeyError(f"vertex id {next(iter(clash))} already present")
+        start = len(self.values)
+        self.values.extend(list(values))
+        self.global_ids.extend(global_ids.tolist())
+        self.id_to_local.update(
+            zip(global_ids.tolist(), range(start, start + n))
+        )
+        self.fixed.extend([False] * n)
+        return np.arange(start, start + n)
 
     def remove(self, global_id: int) -> None:
         """Swap-with-last removal (vertex.hpp:182-225)."""
