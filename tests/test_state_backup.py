@@ -105,3 +105,21 @@ def test_huber_zero_delta_no_nan():
     d = jnp.zeros(3)
     assert np.all(np.isfinite(np.asarray(loss.value(x, d))))
     assert np.all(np.isfinite(np.asarray(loss.derivative(x, d))))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from graphite_tpu.io import checkpoint
+
+    g = gt.Graph(precision=gt.FP64_FP64)
+    vs = g.add_vertex_set(POINT2)
+    vs.add(0, [1.5, -2.5])
+    fs = g.add_factor_set(CIRCLE_AUTO)
+    fs.add([0], obs=1.0)
+    problem = g.freeze()
+    path = str(tmp_path / "ckpt.npz")
+    checkpoint.save(path, problem.params0, mu=np.asarray(1e-4), iteration=7)
+    params, extra = checkpoint.load(path)
+    np.testing.assert_allclose(np.asarray(params["point2"]),
+                               np.asarray(problem.params0["point2"]))
+    assert float(extra["mu"]) == 1e-4
+    assert int(extra["iteration"]) == 7
