@@ -32,7 +32,7 @@ blocks are masked to zero — the static-shape equivalent of the reference's
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

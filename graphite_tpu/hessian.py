@@ -43,7 +43,6 @@ import numpy as np
 
 from .linearize import DIAG_MIN, DIAG_MAX, Linearization, _apply_precision
 from .ops.blockfmt import flatten_blocks, unflatten_blocks
-from .ops.segment import scatter_add_flat
 
 
 @dataclasses.dataclass

@@ -17,8 +17,6 @@ rows; measured ~4-5x faster at BAL shapes.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

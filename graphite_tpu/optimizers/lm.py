@@ -235,7 +235,6 @@ def levenberg_marquardt(problem, solver, params=None,
     params = params if params is not None else problem.params0
 
     if options.profile_dir:
-        import contextlib
         import dataclasses as _dc
 
         inner = _dc.replace(options, profile_dir=None)

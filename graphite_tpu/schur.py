@@ -39,10 +39,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .hessian import HessianStructure, HessianValues, build_hessian_structure
+from .hessian import HessianValues, build_hessian_structure
 from .ops.batched_linalg import spd_inverse
 from .ops.blockfmt import flatten_blocks, unflatten_blocks
-from .ops.segment import scatter_add_flat
 
 
 @dataclasses.dataclass

@@ -23,7 +23,7 @@ Differences by design (value semantics instead of pointer soup):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import numpy as np
 
