@@ -336,6 +336,19 @@ def compute_hessian_values(problem, hs: HessianStructure,
             pj_cache[k] = _apply_precision(fa, unflat_j(fname, t), acc)
         return pj_cache[k]
 
+    # Above this factor count, contributions are processed in chunks via
+    # lax.scan so the transient (F, dr, dc) product (tile-padded on TPU)
+    # stays bounded (~0.5M x 16 x 128 x 4B ~ 4GB worst case -> chunked
+    # ~0.5GB); below it one fused pass is fastest.
+    chunk_limit = 1 << 20
+
+    def contribute(group, idx_np, blk_flat, transpose, n_local):
+        idx = problem.shard_slice(jnp.asarray(idx_np), n_local)
+        values[group] = values[group] + jax.ops.segment_sum(
+            blk_flat.astype(inv_dt), idx,
+            num_segments=hs.group_sizes[group] + 1,
+        )
+
     for cm in hs.contribs:
         if cm.direct_idx is None and cm.trans_idx is None:
             continue
@@ -345,25 +358,109 @@ def compute_hessian_values(problem, hs: HessianStructure,
                 f"explicit Hessian requires stored Jacobians "
                 f"('{cm.fname}' is dynamic)"
             )
-        dL = lin.chi2_deriv[cm.fname].astype(acc)
-        blk = jnp.einsum(
-            "fer,fec->frc", unflat_j(cm.fname, cm.s), pj(cm.fname, cm.t),
-            preferred_element_type=acc,
-        ) * dL[:, None, None]
-        n_local = blk.shape[0]
+        fm = problem.factor_meta[cm.fname]
+        E = fm.ftype.residual_dim
+        ds = fm.ftype.vertex_types[cm.s].dim
+        dt_ = fm.ftype.vertex_types[cm.t].dim
+        n_local = J[cm.s].shape[0]
+
+        if n_local <= chunk_limit:
+            blk = jnp.einsum(
+                "fer,fec->frc", unflat_j(cm.fname, cm.s), pj(cm.fname, cm.t),
+                preferred_element_type=acc,
+            ) * dL_of(lin, cm.fname, acc)[:, None, None]
+            if cm.direct_idx is not None:
+                contribute(cm.direct_group, cm.direct_idx,
+                           flatten_blocks(blk), False, n_local)
+            if cm.trans_idx is not None:
+                contribute(cm.trans_group, cm.trans_idx,
+                           flatten_blocks(jnp.swapaxes(blk, -1, -2)), True,
+                           n_local)
+            continue
+
+        # chunked path (huge factor counts)
+        fa = problem.data.factors[cm.fname]
+        chunk = chunk_limit // 2
+        n_pad = (-n_local) % chunk
+        n_chunks = (n_local + n_pad) // chunk
+
+        def pad_to(a, fill=0):
+            if n_pad == 0:
+                return a
+            return jnp.concatenate(
+                [a, jnp.full((n_pad,) + a.shape[1:], fill, dtype=a.dtype)]
+            )
+
+        Js_c = pad_to(J[cm.s]).reshape(n_chunks, chunk, E * ds)
+        Jt_c = pad_to(J[cm.t]).reshape(n_chunks, chunk, E * dt_)
+        dL_c = pad_to(lin.chi2_deriv[cm.fname]).reshape(n_chunks, chunk)
+        prec_c = (None if fa.precision is None
+                  else pad_to(fa.precision).reshape(n_chunks, chunk, E * E))
+
+        def seg_ids(idx_np, group):
+            trash = hs.group_sizes[group]
+            idx = problem.shard_slice(jnp.asarray(idx_np), n_local)
+            return pad_to(idx, fill=trash).reshape(n_chunks, chunk)
+
+        d_ids = (None if cm.direct_idx is None
+                 else seg_ids(cm.direct_idx, cm.direct_group))
+        t_ids = (None if cm.trans_idx is None
+                 else seg_ids(cm.trans_idx, cm.trans_group))
+
+        def body(carry, xs):
+            vd, vt = carry
+            js, jt, dl, pc, di, ti = xs
+            Js3 = unflatten_blocks(js, E, ds).astype(acc)
+            Jt3 = unflatten_blocks(jt, E, dt_).astype(acc)
+            if pc is not None:
+                P3 = unflatten_blocks(pc, E, E).astype(acc)
+                Jt3 = jnp.einsum("fij,fjc->fic", P3, Jt3,
+                                 preferred_element_type=acc)
+            blk = jnp.einsum("fer,fec->frc", Js3, Jt3,
+                             preferred_element_type=acc) * dl.astype(acc)[
+                :, None, None]
+            if di is not None:
+                vd = vd + jax.ops.segment_sum(
+                    flatten_blocks(blk).astype(inv_dt), di,
+                    num_segments=vd.shape[0],
+                )
+            if ti is not None:
+                vt = vt + jax.ops.segment_sum(
+                    flatten_blocks(jnp.swapaxes(blk, -1, -2)).astype(inv_dt),
+                    ti, num_segments=vt.shape[0],
+                )
+            return (vd, vt), None
+
+        vd0 = jnp.zeros(
+            ((hs.group_sizes[cm.direct_group] + 1) if cm.direct_idx is not None
+             else 1, ds * dt_), dtype=inv_dt)
+        vt0 = jnp.zeros(
+            ((hs.group_sizes[cm.trans_group] + 1) if cm.trans_idx is not None
+             else 1, dt_ * ds), dtype=inv_dt)
+        xs = (Js_c, Jt_c, dL_c,
+              prec_c if prec_c is not None else jnp.zeros((n_chunks, 1)),
+              d_ids if d_ids is not None else jnp.zeros((n_chunks, 1)),
+              t_ids if t_ids is not None else jnp.zeros((n_chunks, 1)))
+
+        def body_wrap(carry, xs_row):
+            js, jt, dl, pc, di, ti = xs_row
+            return body(carry, (
+                js, jt, dl,
+                pc if prec_c is not None else None,
+                di if d_ids is not None else None,
+                ti if t_ids is not None else None,
+            ))
+
+        (vd, vt), _ = jax.lax.scan(body_wrap, (vd0, vt0), xs)
         if cm.direct_idx is not None:
-            idx = problem.shard_slice(jnp.asarray(cm.direct_idx), n_local)
-            values[cm.direct_group] = values[cm.direct_group] + jax.ops.segment_sum(
-                flatten_blocks(blk).astype(inv_dt), idx,
-                num_segments=hs.group_sizes[cm.direct_group] + 1,
-            )
+            values[cm.direct_group] = values[cm.direct_group] + vd
         if cm.trans_idx is not None:
-            idx = problem.shard_slice(jnp.asarray(cm.trans_idx), n_local)
-            values[cm.trans_group] = values[cm.trans_group] + jax.ops.segment_sum(
-                flatten_blocks(jnp.swapaxes(blk, -1, -2)).astype(inv_dt), idx,
-                num_segments=hs.group_sizes[cm.trans_group] + 1,
-            )
+            values[cm.trans_group] = values[cm.trans_group] + vt
     return {k: problem.allreduce(v) for k, v in values.items()}
+
+
+def dL_of(lin, fname, acc):
+    return lin.chi2_deriv[fname].astype(acc)
 
 
 def _diag_rows_by_type(problem, hs: HessianStructure):

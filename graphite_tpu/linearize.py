@@ -94,7 +94,8 @@ def compute_residuals_block(problem: Problem, params, name: str) -> jax.Array:
     return jax.vmap(one, in_axes=in_axes)(*gathered, *tail)
 
 
-def _residual_and_jacobian_block(problem: Problem, params, name: str):
+def _residual_and_jacobian_block(problem: Problem, params, name: str,
+                                 fa_override=None):
     """(F,E) residuals and per-slot (F,E,d_i) tangent Jacobians.
 
     AUTO mode: jacfwd of the residual through each vertex type's ``retract``
@@ -103,9 +104,12 @@ def _residual_and_jacobian_block(problem: Problem, params, name: str):
     (ops/linearize.hpp:10-80).
     """
     fm = problem.factor_meta[name]
-    fa = problem.data.factors[name]
+    fa = fa_override if fa_override is not None else problem.data.factors[name]
     ftype = fm.ftype
-    gathered = _gather_params(problem, params, name)
+    gathered = tuple(
+        params[vt.name][fa.ids[slot]]
+        for slot, vt in enumerate(ftype.vertex_types)
+    )
     tail, tail_axes = _call_args(fa)
     gdt = problem.precision.graph_dtype
     n = ftype.arity
@@ -145,6 +149,52 @@ def _residual_and_jacobian_block(problem: Problem, params, name: str):
 
     in_axes = (0,) * n + tail_axes
     return jax.vmap(one_auto, in_axes=in_axes)(*gathered, *tail)
+
+
+#: factor counts above this are linearized in lax.map chunks of half this
+#: size, bounding the tile-padded (F, E, d) jacfwd transient.
+LINEARIZE_CHUNK_LIMIT = 1 << 20
+
+
+def _residuals_and_flat_jacobians(problem: Problem, params, name: str):
+    """(F, E) residuals + per-slot masked flat (F, E*d) Jacobians, with
+    chunked evaluation for huge factor blocks."""
+    fm = problem.factor_meta[name]
+    fa = problem.data.factors[name]
+    ftype = fm.ftype
+    F = fa.factor_mask.shape[0]
+
+    def compute(sl):
+        sub = jax.tree.map(lambda a: a[sl], fa) if sl is not None else fa
+        r, J = _residual_and_jacobian_block(problem, params, name,
+                                            fa_override=sub)
+        jflat = tuple(
+            flatten_blocks(
+                Ji * sub.slot_mask[:, s, None, None].astype(Ji.dtype)
+            )
+            for s, Ji in enumerate(J)
+        )
+        return r, jflat
+
+    if F <= LINEARIZE_CHUNK_LIMIT:
+        return compute(None)
+
+    chunk = LINEARIZE_CHUNK_LIMIT // 2
+    n_pad = (-F) % chunk
+    n_chunks = (F + n_pad) // chunk
+
+    def run_chunk(i):
+        start = i * chunk
+        sl = jnp.arange(chunk) + start  # gather indices (clamped pad tail)
+        sl = jnp.minimum(sl, F - 1)
+        return compute(sl)
+
+    r_chunks, j_chunks = jax.lax.map(run_chunk, jnp.arange(n_chunks))
+    r = r_chunks.reshape(n_chunks * chunk, -1)[:F]
+    jflat = tuple(
+        jc.reshape(n_chunks * chunk, -1)[:F] for jc in j_chunks
+    )
+    return r, jflat
 
 
 # --------------------------------------------------------------------------
@@ -208,21 +258,16 @@ def linearize(problem: Problem, params) -> Linearization:
 
     # 1. residuals + Jacobians + chi2. Jacobian blocks are kept flat (F, E*d)
     # whenever HBM-resident (see ops/blockfmt.py) and reshaped transiently
-    # around einsums.
+    # around einsums. Huge blocks are processed in lax.map chunks so the
+    # (F, E, d) jacfwd transient (tile-padded on TPU) stays bounded.
     for name, fm in problem.factor_meta.items():
         fa = problem.data.factors[name]
-        r, J = _residual_and_jacobian_block(problem, params, name)
-        r = r.astype(gdt)
-        # Mask per-slot Jacobians: zero for inactive factors / fixed vertices
-        # (static-shape analog of is_vertex_active guards, active.hpp:18-21).
-        jac_flat[name] = tuple(
-            flatten_blocks(
-                Ji * fa.slot_mask[:, s, None, None].astype(Ji.dtype)
-            )
-            for s, Ji in enumerate(J)
+        r, jflat = _residuals_and_flat_jacobians(problem, params, name)
+        residuals[name] = r.astype(gdt)
+        jac_flat[name] = jflat
+        chi2_vec[name], chi2_deriv[name] = compute_chi2_block(
+            problem, name, residuals[name]
         )
-        residuals[name] = r
-        chi2_vec[name], chi2_deriv[name] = compute_chi2_block(problem, name, r)
 
     E_of = {
         name: fm.ftype.residual_dim for name, fm in problem.factor_meta.items()
