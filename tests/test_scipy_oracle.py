@@ -17,7 +17,7 @@ from graphite_tpu.solvers import DenseCholeskySchurSolver
 
 
 def test_lm_matches_scipy_least_squares():
-    ds = synthetic.make_bal("toy", seed=3, noise=0.2)
+    ds = synthetic.make_bal("mini", seed=3, noise=0.2)
     g, cams, pts, fs = bal_io.build_graph(ds, precision=gt.FP64_FP64)
     problem = g.freeze()
     res = levenberg_marquardt(
@@ -36,7 +36,7 @@ def test_lm_matches_scipy_least_squares():
         return (pred - ds.observations).ravel()
 
     x0 = np.concatenate([ds.cameras.ravel(), ds.points.ravel()])
-    out = scipy.optimize.least_squares(residuals, x0, method="lm",
+    out = scipy.optimize.least_squares(residuals, x0, method="trf",
                                        xtol=1e-14, ftol=1e-14, gtol=1e-14)
     scipy_cost = float(np.sum(out.fun**2))  # chi2 convention (no 1/2)
 
