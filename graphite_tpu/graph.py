@@ -150,6 +150,77 @@ class Problem:
         # cross-factor reductions (b, diag, chi2, J^T v, Hessian values) are
         # psum'ed over this axis — the TPU analog of multi-GPU assembly.
         self.psum_axis = None
+        # Large static index arrays (Hessian/Schur scatter maps). When a
+        # jitted entry point binds tracers (bind_consts), `const` returns the
+        # corresponding argument tracer so multi-hundred-MB index arrays ride
+        # as executable ARGUMENTS instead of being inlined into the HLO
+        # (which blows past compile-payload limits at Venice-Final scale).
+        self._const_store: dict = {}
+        self._const_tracers = None
+
+    # ---- const store -------------------------------------------------------
+    def const(self, key, np_array):
+        """Register/fetch a static device array by key.
+
+        Inside a consts-bound trace, returns the argument tracer; otherwise
+        returns the cached device array (inlined as an HLO constant — fine
+        for small problems and eager use).
+        """
+        if key not in self._const_store:
+            # store HOST arrays: converting inside a trace would capture a
+            # tracer and leak it out of the transformation
+            self._const_store[key] = np.asarray(np_array)
+        if self._const_tracers is not None and key in self._const_tracers:
+            return self._const_tracers[key]
+        return jnp.asarray(self._const_store[key])
+
+    def consts(self):
+        """The full const dict as device arrays (pass as a jit argument).
+
+        Only call outside of traces.
+        """
+        dev = self._cache.setdefault("const_device", {})
+        for k, v in self._const_store.items():
+            if k not in dev:
+                dev[k] = jnp.asarray(v)
+        return dict(dev)
+
+    def bind_consts(self, tracers):
+        import contextlib
+
+        @contextlib.contextmanager
+        def ctx():
+            prev = self._const_tracers
+            self._const_tracers = tracers
+            try:
+                yield
+            finally:
+                self._const_tracers = prev
+
+        return ctx()
+
+    def jit_with_consts(self, fn):
+        """jit ``fn(*args)`` with this problem's static index arrays passed
+        as arguments rather than inlined HLO constants.
+
+        First call runs ``jax.eval_shape`` (abstract trace, no compile) to
+        populate the const store, then compiles ``fn`` with the consts bound
+        to argument tracers.
+        """
+        cell = {}
+
+        def wrapper(*args):
+            if "f" not in cell:
+                jax.eval_shape(fn, *args)  # registers consts, no compile
+
+                def inner(consts, *a):
+                    with self.bind_consts(consts):
+                        return fn(*a)
+
+                cell["f"] = jax.jit(inner)
+            return cell["f"](self.consts(), *args)
+
+        return wrapper
 
     # ---- row-view helpers (TPU-fast gathers/scatters) ---------------------
     def rows_view(self, x: jax.Array, vname: str) -> jax.Array:

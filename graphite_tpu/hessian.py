@@ -342,14 +342,14 @@ def compute_hessian_values(problem, hs: HessianStructure,
     # ~0.5GB); below it one fused pass is fastest.
     chunk_limit = 1 << 20
 
-    def contribute(group, idx_np, blk_flat, transpose, n_local):
-        idx = problem.shard_slice(jnp.asarray(idx_np), n_local)
+    def contribute(group, idx_np, blk_flat, key, n_local):
+        idx = problem.shard_slice(problem.const(key, idx_np), n_local)
         values[group] = values[group] + jax.ops.segment_sum(
             blk_flat.astype(inv_dt), idx,
             num_segments=hs.group_sizes[group] + 1,
         )
 
-    for cm in hs.contribs:
+    for ci, cm in enumerate(hs.contribs):
         if cm.direct_idx is None and cm.trans_idx is None:
             continue
         J = lin.jacobians[cm.fname]
@@ -371,11 +371,11 @@ def compute_hessian_values(problem, hs: HessianStructure,
             ) * dL_of(lin, cm.fname, acc)[:, None, None]
             if cm.direct_idx is not None:
                 contribute(cm.direct_group, cm.direct_idx,
-                           flatten_blocks(blk), False, n_local)
+                           flatten_blocks(blk), ("hess_d", ci), n_local)
             if cm.trans_idx is not None:
                 contribute(cm.trans_group, cm.trans_idx,
-                           flatten_blocks(jnp.swapaxes(blk, -1, -2)), True,
-                           n_local)
+                           flatten_blocks(jnp.swapaxes(blk, -1, -2)),
+                           ("hess_t", ci), n_local)
             continue
 
         # chunked path (huge factor counts)
@@ -397,15 +397,15 @@ def compute_hessian_values(problem, hs: HessianStructure,
         prec_c = (None if fa.precision is None
                   else pad_to(fa.precision).reshape(n_chunks, chunk, E * E))
 
-        def seg_ids(idx_np, group):
+        def seg_ids(idx_np, group, key):
             trash = hs.group_sizes[group]
-            idx = problem.shard_slice(jnp.asarray(idx_np), n_local)
+            idx = problem.shard_slice(problem.const(key, idx_np), n_local)
             return pad_to(idx, fill=trash).reshape(n_chunks, chunk)
 
         d_ids = (None if cm.direct_idx is None
-                 else seg_ids(cm.direct_idx, cm.direct_group))
+                 else seg_ids(cm.direct_idx, cm.direct_group, ("hess_d", ci)))
         t_ids = (None if cm.trans_idx is None
-                 else seg_ids(cm.trans_idx, cm.trans_group))
+                 else seg_ids(cm.trans_idx, cm.trans_group, ("hess_t", ci)))
 
         def body(carry, xs):
             vd, vt = carry
@@ -499,7 +499,7 @@ def apply_damping(problem, hs: HessianStructure, values: HessianValues,
             dnew = d0 + damping
         else:
             dnew = d0 + damping * jnp.clip(d0, DIAG_MIN, DIAG_MAX)
-        idxs_j = jnp.asarray(idxs)
+        idxs_j = problem.const(("damp_idx", name), idxs)
         # flat (n, d*d) blocks: diagonal entries sit at i*d+i; overwrite them
         # with the damped backup via a static diag mask.
         blocks = out[key][idxs_j]

@@ -102,7 +102,8 @@ def _run(vals_pad, seg_pad, starts, *, num_segments, chunk, window, n_chunks,
     return out[:num_segments]
 
 
-def sorted_segment_sum(values: jax.Array, plan: dict) -> jax.Array:
+def sorted_segment_sum(values: jax.Array, plan: dict, seg_pad=None,
+                       starts=None) -> jax.Array:
     """(K, D) destination-sorted values -> (num_segments, D).
 
     ``plan`` comes from `plan_sorted_segsum` over the (host) sorted segment
@@ -112,9 +113,12 @@ def sorted_segment_sum(values: jax.Array, plan: dict) -> jax.Array:
     k, k_pad, chunk = plan["k"], plan["k_pad"], plan["chunk"]
     vals_pad = jnp.zeros((k_pad, values.shape[1]), dtype=values.dtype)
     vals_pad = jax.lax.dynamic_update_slice(vals_pad, values, (0, 0))
-    seg_pad = jnp.asarray(plan["seg_pad_2d"])
+    if seg_pad is None:
+        seg_pad = jnp.asarray(plan["seg_pad_2d"])
+    if starts is None:
+        starts = jnp.asarray(plan["starts"])
     return _run(
-        vals_pad, seg_pad, jnp.asarray(plan["starts"]),
+        vals_pad, seg_pad, starts,
         num_segments=plan["num_segments"], chunk=chunk,
         window=plan["window"], n_chunks=plan["n_chunks"],
         k_pad=k_pad, out_pad=plan["out_pad"],

@@ -204,7 +204,7 @@ def _initial_carry(problem, solver, params, options) -> LMCarry:
             lin = linearize(problem, p)
             return lin, solver.prepare(problem, lin, p)
 
-        problem._cache[init_key] = jax.jit(_init)
+        problem._cache[init_key] = problem.jit_with_consts(_init)
     lin, sstate = problem._cache[init_key](params)
     return _make_carry(problem, params, lin, sstate, options)
 
@@ -255,7 +255,7 @@ def levenberg_marquardt(problem, solver, params=None,
 
                 return jax.lax.while_loop(cond, step, carry)
 
-            problem._cache[key] = jax.jit(run_all)
+            problem._cache[key] = problem.jit_with_consts(run_all)
         carry = _initial_carry(problem, solver, params, options)
         initial_chi2 = float(carry.chi2)
         carry = problem._cache[key](carry)
@@ -271,7 +271,9 @@ def levenberg_marquardt(problem, solver, params=None,
         )
 
     if key not in problem._cache:
-        problem._cache[key] = jax.jit(_lm_iteration(problem, solver, options))
+        problem._cache[key] = problem.jit_with_consts(
+            _lm_iteration(problem, solver, options)
+        )
     step = problem._cache[key]
 
     t0 = _time.perf_counter()

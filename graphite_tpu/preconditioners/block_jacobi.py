@@ -122,7 +122,8 @@ class BlockJacobiPreconditioner:
             dim = vm.vtype.dim
             inv = unflatten_blocks(
                 state.inv_blocks[name][
-                    jnp.asarray(problem.row_vertex[name], dtype=jnp.int32)
+                    problem.const(("row_vertex", name),
+                                  problem.row_vertex[name].astype("int32"))
                 ], dim, dim,
             )
             z_rows[name] = jnp.einsum(

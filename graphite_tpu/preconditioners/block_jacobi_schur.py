@@ -53,7 +53,8 @@ class BlockJacobiSchurPreconditioner:
         inv_blocks = {}
         for t, (key, idxs) in _pose_type_rows(problem, ss).items():
             gathered = unflatten_blocks(
-                sv.s_vals[key][jnp.asarray(idxs)], key[0], key[1]
+                sv.s_vals[key][problem.const(("bjs_idx", t), idxs)],
+                key[0], key[1],
             )
             inv_blocks[t] = flatten_blocks(spd_inverse(gathered))
         return BlockJacobiSchurState(inv_blocks=inv_blocks)

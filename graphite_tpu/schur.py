@@ -337,7 +337,8 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
     hll_inv = {}
     for d in ss.lm_dims:
         blocks = unflatten_blocks(
-            hvals[(d, d)][jnp.asarray(ss.lm_h_idx[d])], d, d
+            hvals[(d, d)][problem.const(("lm_h_idx", d), ss.lm_h_idx[d])],
+            d, d,
         ).astype(inv_dt)
         hll_inv[d] = flatten_blocks(spd_inverse(blocks))
 
@@ -346,9 +347,11 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
         key: jnp.zeros((ss.s_sizes[key], key[0] * key[1]), dtype=inv_dt)
         for key in ss.s_keys
     }
-    for hkey, h_idx, s_idx in ss.hpp_copy:
-        s_vals[hkey] = s_vals[hkey].at[jnp.asarray(s_idx)].add(
-            hvals[hkey][jnp.asarray(h_idx)].astype(inv_dt)
+    for hi, (hkey, h_idx, s_idx) in enumerate(ss.hpp_copy):
+        s_vals[hkey] = s_vals[hkey].at[
+            problem.const(("hpp_s", hi), s_idx)
+        ].add(
+            hvals[hkey][problem.const(("hpp_h", hi), h_idx)].astype(inv_dt)
         )
 
     # 3. Triple products (schur.hpp:649-734). First precompute
@@ -360,10 +363,12 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
     for key in ss.hpl_keys:
         dp, dl = key
         Hpl3 = unflatten_blocks(
-            hvals[key][jnp.asarray(ss.hpl_h_idx[key])], dp, dl
+            hvals[key][problem.const(("hpl_h", key), ss.hpl_h_idx[key])],
+            dp, dl,
         ).astype(inv_dt)
-        lm_gidx = jnp.asarray(
-            ss.lm_group_index[ss.hpl_lm[key]], dtype=jnp.int32
+        lm_gidx = problem.const(
+            ("hpl_lm_gidx", key),
+            ss.lm_group_index[ss.hpl_lm[key]].astype(np.int32),
         )
         M3 = unflatten_blocks(hll_inv[dl][lm_gidx], dl, dl)
         hpl_w[key] = flatten_blocks(
@@ -373,10 +378,13 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
     for gi, pg in enumerate(ss.products):
         dpa, dl, dpb = pg["dims"]
         W = unflatten_blocks(
-            hpl_w[pg["left_key"]][jnp.asarray(pg["left"])], dpa, dl
+            hpl_w[pg["left_key"]][problem.const(("prod_l", gi), pg["left"])],
+            dpa, dl,
         )
         R = unflatten_blocks(
-            hvals[pg["right_key"]][jnp.asarray(pg["right"])], dpb, dl
+            hvals[pg["right_key"]][
+                problem.const(("prod_r", gi), pg["right"])
+            ], dpb, dl,
         ).astype(inv_dt)
         # dst -= W R^T  (ops/schur.hpp:117-188)
         prod = jnp.einsum(
@@ -413,9 +421,15 @@ def _product_scatter(problem, ss, gi, pg, prod_flat, inv_dt):
             plans[gi] = plan_sorted_segsum(
                 pg["dst"], ss.s_sizes[key], chunk=2048
             )
-        return sorted_segment_sum(prod_flat, plans[gi])
+        plan = plans[gi]
+        return sorted_segment_sum(
+            prod_flat, plan,
+            seg_pad=problem.const(("segsum_seg", gi), plan["seg_pad_2d"]),
+            starts=problem.const(("segsum_starts", gi), plan["starts"]),
+        )
     return jax.ops.segment_sum(
-        prod_flat, jnp.asarray(pg["dst"]), num_segments=ss.s_sizes[key]
+        prod_flat, problem.const(("prod_dst", gi), pg["dst"]),
+        num_segments=ss.s_sizes[key],
     )
 
 
@@ -454,7 +468,9 @@ class SchurOps:
         self._gdt = problem.precision.graph_dtype
 
     def hpl(self, key):
-        return self.hvals[key][jnp.asarray(self.ss.hpl_h_idx[key])]
+        return self.hvals[key][
+            self.problem.const(("hpl_h", key), self.ss.hpl_h_idx[key])
+        ]
 
     def _cached_partition(self, tag, block_ids):
         cache = self.problem._cache.setdefault("schur_partitions", {})
@@ -475,9 +491,11 @@ class SchurOps:
             d = problem.vertex_meta[t].vtype.dim
             # landmarks of this type, ordered by row == block order ✓
             order = np.argsort(rows, kind="stable")
-            gidx = ss.lm_group_index[sel[order]]
+            gidx = ss.lm_group_index[sel[order]].astype(np.int32)
             inv = unflatten_blocks(
-                self.sv.hll_inv[d][jnp.asarray(gidx, dtype=jnp.int32)], d, d
+                self.sv.hll_inv[d][
+                    self.problem.const(("hllsolve_gidx", t), gidx)
+                ], d, d,
             )
             out[t] = jnp.einsum(
                 "krc,kc->kr", inv, t_rows[t].astype(inv.dtype)
@@ -507,14 +525,18 @@ class SchurOps:
                 for lt, lsel, lrow in self._cached_partition(
                         f"hpl_lm_{key}_{pt}", lm_abs[psel]):
                     sub = psel[lsel]
-                    Wg = w[lt][jnp.asarray(lrow, dtype=jnp.int32)]
+                    ck = ("bschur", key, pt, lt)
+                    Wg = w[lt][problem.const(ck + ("lrow",),
+                                             lrow.astype(np.int32))]
                     Hsub = unflatten_blocks(
-                        Hpl[jnp.asarray(sub, dtype=jnp.int32)], dp, dl
+                        Hpl[problem.const(ck + ("sub",),
+                                          sub.astype(np.int32))], dp, dl
                     )
                     y = jnp.einsum("kab,kb->ka", Hsub.astype(Wg.dtype), Wg)
                     acc = jax.ops.segment_sum(
                         y.astype(gdt),
-                        jnp.asarray(prow[lsel], dtype=jnp.int32),
+                        problem.const(ck + ("prow",),
+                                      prow[lsel].astype(np.int32)),
                         num_segments=problem.seg_rows[pt] + 1,
                     )[:-1]
                     prev = out_rows.get(pt)
@@ -544,14 +566,18 @@ class SchurOps:
                 for ct, csel, crow in self._cached_partition(
                         f"s_cols_{key}_{rt}", cols_b[rsel]):
                     sub = rsel[csel]
+                    ck = ("smv", key, rt, ct)
                     Sg = unflatten_blocks(
-                        S[jnp.asarray(sub, dtype=jnp.int32)], dr_k, dc_k
+                        S[problem.const(ck + ("sub",), sub.astype(np.int32))],
+                        dr_k, dc_k,
                     )
                     xg = problem.rows_view(x, ct)[
-                        jnp.asarray(crow, dtype=jnp.int32)].astype(Sg.dtype)
+                        problem.const(ck + ("crow",), crow.astype(np.int32))
+                    ].astype(Sg.dtype)
                     add_rows(rt, jax.ops.segment_sum(
                         jnp.einsum("krc,kc->kr", Sg, xg).astype(gdt),
-                        jnp.asarray(rrow[csel], dtype=jnp.int32),
+                        problem.const(ck + ("rrow",),
+                                      rrow[csel].astype(np.int32)),
                         num_segments=problem.seg_rows[rt] + 1,
                     )[:-1])
                     # transpose contribution for off-diagonal blocks
@@ -559,13 +585,16 @@ class SchurOps:
                     if np.any(off):
                         o = np.nonzero(off)[0]
                         St = jnp.swapaxes(
-                            Sg[jnp.asarray(o, dtype=jnp.int32)], -1, -2)
+                            Sg[problem.const(ck + ("o",), o.astype(np.int32))],
+                            -1, -2)
                         xg2 = problem.rows_view(x, rt)[
-                            jnp.asarray(rrow[csel][o], dtype=jnp.int32)
+                            problem.const(ck + ("rrow_o",),
+                                          rrow[csel][o].astype(np.int32))
                         ].astype(Sg.dtype)
                         add_rows(ct, jax.ops.segment_sum(
                             jnp.einsum("kcr,kr->kc", St, xg2).astype(gdt),
-                            jnp.asarray(crow[o], dtype=jnp.int32),
+                            problem.const(ck + ("crow_o",),
+                                          crow[o].astype(np.int32)),
                             num_segments=problem.seg_rows[ct] + 1,
                         )[:-1])
         return problem.flat_from_rows(y_rows, dtype=gdt)[: ss.dim_p]
@@ -591,19 +620,24 @@ class SchurOps:
             for pt, psel, prow in self._cached_partition(
                     f"hpl_pose_{key}", ss.hpl_pose[key]):
                 xg = problem.rows_view(dx_p, pt)[
-                    jnp.asarray(prow, dtype=jnp.int32)]
+                    problem.const(("lu_prow", key, pt),
+                                  prow.astype(np.int32))]
                 for lt, lsel, lrow in self._cached_partition(
                         f"hpl_lm_{key}_{pt}", lm_abs[psel]):
                     sub = psel[lsel]
+                    ck = ("lu", key, pt, lt)
                     Hsub = unflatten_blocks(
-                        Hpl[jnp.asarray(sub, dtype=jnp.int32)], dp, dl
+                        Hpl[problem.const(ck + ("sub",),
+                                          sub.astype(np.int32))], dp, dl
                     )
                     contrib = jnp.einsum(
                         "kab,ka->kb", Hsub.astype(gdt),
-                        xg[jnp.asarray(lsel, dtype=jnp.int32)].astype(gdt),
+                        xg[problem.const(ck + ("lsel",),
+                                         lsel.astype(np.int32))].astype(gdt),
                     )
                     t_rows[lt] = t_rows[lt] - jax.ops.segment_sum(
-                        contrib, jnp.asarray(lrow, dtype=jnp.int32),
+                        contrib,
+                        problem.const(ck + ("lrow",), lrow.astype(np.int32)),
                         num_segments=problem.seg_rows[lt] + 1,
                     )[:-1]
         return self._hll_solve_rows(t_rows)
