@@ -413,7 +413,10 @@ def _product_scatter(problem, ss, gi, pg, prod_flat, inv_dt):
     MXU kernel on TPU/f32 (dst is freeze-sorted), XLA segment_sum
     otherwise."""
     key = pg["dst_key"]
-    if _use_pallas(problem, inv_dt):
+    # the windowed-one-hot kernel keeps the whole output resident in VMEM;
+    # large S-block counts must take the XLA path
+    out_bytes = ss.s_sizes[key] * key[0] * key[1] * 4
+    if _use_pallas(problem, inv_dt) and out_bytes <= (8 << 20):
         from .ops.pallas.segsum import plan_sorted_segsum, sorted_segment_sum
 
         plans = problem._cache.setdefault("segsum_plans", {})
