@@ -42,6 +42,13 @@ import numpy as np
 from .hessian import HessianValues, build_hessian_structure
 from .ops.batched_linalg import spd_inverse
 from .ops.blockfmt import flatten_blocks, unflatten_blocks
+from .ops.chunked import scan_accumulate, scan_map
+
+# Above this row count, block-batch einsums run in lax.scan chunks so their
+# tile-padded 3-D transients stay bounded (a fused (K,9,9) f32 product
+# materializes at ~8KB/row on TPU).
+CHUNK_THRESHOLD = 1 << 19
+CHUNK = 1 << 16
 
 
 @dataclasses.dataclass
@@ -230,9 +237,6 @@ def build_schur_structure(problem) -> SchurStructure:
     dl_all = lm_dim_of[pair_lm]
     tri_code = (dpa_all * 100000 + dl_all) * 100000 + dpb_all
     dst_idx_all, dst_group_all = s_lookup(pair_codes)
-    # Bound the transient (K, dpa*dpb) product buffer: split big groups into
-    # chunks (each still dst-sorted). 2^19 products x 81 floats ~ 170 MB.
-    max_chunk = 1 << 19
     products = []
     for code in np.unique(tri_code):
         m = tri_code == code
@@ -250,19 +254,16 @@ def build_schur_structure(problem) -> SchurStructure:
         mid = lm_group_index[pair_lm[m]].astype(np.int32)
         dst = dst_idx_all[m].astype(np.int32)
         order = np.argsort(dst, kind="stable")
-        left, right, mid, dst = left[order], right[order], mid[order], dst[order]
-        for lo in range(0, len(dst), max_chunk):
-            hi = min(lo + max_chunk, len(dst))
-            products.append(
-                dict(
-                    dims=(dpa, dl, dpb),
-                    left_key=hpl_keys[int(lkeys[0])],
-                    right_key=hpl_keys[int(rkeys[0])],
-                    dst_key=dst_key,
-                    left=left[lo:hi], right=right[lo:hi],
-                    mid=mid[lo:hi], dst=dst[lo:hi],
-                )
+        products.append(
+            dict(
+                dims=(dpa, dl, dpb),
+                left_key=hpl_keys[int(lkeys[0])],
+                right_key=hpl_keys[int(rkeys[0])],
+                dst_key=dst_key,
+                left=left[order], right=right[order],
+                mid=mid[order], dst=dst[order],
             )
+        )
 
     # --- S diagonal lookup (vectorized) ---
     diag_codes = np.arange(n_pose) * n_pose + np.arange(n_pose)
@@ -362,38 +363,68 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
     hpl_w: Dict[Tuple[int, int], jax.Array] = {}
     for key in ss.hpl_keys:
         dp, dl = key
-        Hpl3 = unflatten_blocks(
-            hvals[key][problem.const(("hpl_h", key), ss.hpl_h_idx[key])],
-            dp, dl,
-        ).astype(inv_dt)
+        hpl_flat = hvals[key][problem.const(("hpl_h", key), ss.hpl_h_idx[key])]
         lm_gidx = problem.const(
             ("hpl_lm_gidx", key),
             ss.lm_group_index[ss.hpl_lm[key]].astype(np.int32),
         )
-        M3 = unflatten_blocks(hll_inv[dl][lm_gidx], dl, dl)
-        hpl_w[key] = flatten_blocks(
-            jnp.einsum("kab,kbc->kac", Hpl3, M3, preferred_element_type=inv_dt)
-        )
+        mid_flat = hll_inv[dl][lm_gidx]
+        K = hpl_flat.shape[0]
+
+        def w_body(chunk_arrays, dp=dp, dl=dl):
+            hf, mf = chunk_arrays
+            Hpl3 = unflatten_blocks(hf, dp, dl).astype(inv_dt)
+            M3 = unflatten_blocks(mf, dl, dl)
+            return flatten_blocks(
+                jnp.einsum("kab,kbc->kac", Hpl3, M3,
+                           preferred_element_type=inv_dt)
+            )
+
+        if K <= CHUNK_THRESHOLD:
+            hpl_w[key] = w_body((hpl_flat, mid_flat))
+        else:
+            hpl_w[key] = scan_map(w_body, (hpl_flat, mid_flat), K, CHUNK)
 
     for gi, pg in enumerate(ss.products):
         dpa, dl, dpb = pg["dims"]
-        W = unflatten_blocks(
-            hpl_w[pg["left_key"]][problem.const(("prod_l", gi), pg["left"])],
-            dpa, dl,
-        )
-        R = unflatten_blocks(
-            hvals[pg["right_key"]][
-                problem.const(("prod_r", gi), pg["right"])
-            ], dpb, dl,
-        ).astype(inv_dt)
-        # dst -= W R^T  (ops/schur.hpp:117-188)
-        prod = jnp.einsum(
-            "kab,kdb->kad", W, R, preferred_element_type=inv_dt
-        )
         key = pg["dst_key"]
-        s_vals[key] = s_vals[key] - _product_scatter(
-            problem, ss, gi, pg, flatten_blocks(prod), inv_dt
-        )
+        K = pg["dst"].shape[0]
+        left = problem.const(("prod_l", gi), pg["left"])
+        right = problem.const(("prod_r", gi), pg["right"])
+        dst = problem.const(("prod_dst", gi), pg["dst"])
+        Wsrc = hpl_w[pg["left_key"]]
+        Rsrc = hvals[pg["right_key"]]
+
+        if K <= CHUNK_THRESHOLD:
+            W = unflatten_blocks(Wsrc[left], dpa, dl)
+            R = unflatten_blocks(Rsrc[right], dpb, dl).astype(inv_dt)
+            # dst -= W R^T  (ops/schur.hpp:117-188)
+            prod = jnp.einsum(
+                "kab,kdb->kad", W, R, preferred_element_type=inv_dt
+            )
+            s_vals[key] = s_vals[key] - _product_scatter(
+                problem, ss, gi, pg, flatten_blocks(prod), inv_dt
+            )
+        else:
+            ns = ss.s_sizes[key]
+
+            def prod_body(carry, chunk_arrays, dpa=dpa, dl=dl, dpb=dpb,
+                          ns=ns, Wsrc=Wsrc, Rsrc=Rsrc):
+                li, ri, di = chunk_arrays
+                W = unflatten_blocks(Wsrc[li], dpa, dl)
+                R = unflatten_blocks(Rsrc[ri], dpb, dl).astype(inv_dt)
+                prod = jnp.einsum("kab,kdb->kad", W, R,
+                                  preferred_element_type=inv_dt)
+                return carry + jax.ops.segment_sum(
+                    flatten_blocks(prod), di, num_segments=ns + 1
+                )
+
+            acc0 = jnp.zeros((ns + 1, dpa * dpb), dtype=inv_dt)
+            acc = scan_accumulate(
+                prod_body, (left, right, dst), K, CHUNK, acc0,
+                fills=[0, 0, ns],  # padding rows target the trash segment
+            )
+            s_vals[key] = s_vals[key] - acc[:ns]
     return SchurValues(hll_inv=hll_inv, s_vals=s_vals)
 
 
@@ -529,19 +560,34 @@ class SchurOps:
                         f"hpl_lm_{key}_{pt}", lm_abs[psel]):
                     sub = psel[lsel]
                     ck = ("bschur", key, pt, lt)
-                    Wg = w[lt][problem.const(ck + ("lrow",),
-                                             lrow.astype(np.int32))]
-                    Hsub = unflatten_blocks(
-                        Hpl[problem.const(ck + ("sub",),
-                                          sub.astype(np.int32))], dp, dl
-                    )
-                    y = jnp.einsum("kab,kb->ka", Hsub.astype(Wg.dtype), Wg)
-                    acc = jax.ops.segment_sum(
-                        y.astype(gdt),
-                        problem.const(ck + ("prow",),
-                                      prow[lsel].astype(np.int32)),
-                        num_segments=problem.seg_rows[pt] + 1,
-                    )[:-1]
+                    K = sub.shape[0]
+                    lrow_c = problem.const(ck + ("lrow",),
+                                           lrow.astype(np.int32))
+                    sub_c = problem.const(ck + ("sub",), sub.astype(np.int32))
+                    prow_c = problem.const(ck + ("prow",),
+                                           prow[lsel].astype(np.int32))
+                    n_seg = problem.seg_rows[pt] + 1
+                    wlt = w[lt]
+
+                    def bs_body(carry, chunk_arrays, dp=dp, dl=dl,
+                                n_seg=n_seg, Hpl=Hpl, wlt=wlt):
+                        lr, sb, pr = chunk_arrays
+                        Wg = wlt[lr]
+                        Hsub = unflatten_blocks(Hpl[sb], dp, dl)
+                        y = jnp.einsum("kab,kb->ka", Hsub.astype(Wg.dtype),
+                                       Wg)
+                        return carry + jax.ops.segment_sum(
+                            y.astype(gdt), pr, num_segments=n_seg
+                        )
+
+                    acc0 = jnp.zeros((n_seg, dp), dtype=gdt)
+                    if K <= CHUNK_THRESHOLD:
+                        acc = bs_body(acc0, (lrow_c, sub_c, prow_c))[:-1]
+                    else:
+                        acc = scan_accumulate(
+                            bs_body, (lrow_c, sub_c, prow_c), K, CHUNK, acc0,
+                            fills=[0, 0, n_seg - 1],
+                        )[:-1]
                     prev = out_rows.get(pt)
                     out_rows[pt] = acc if prev is None else prev + acc
         flat = problem.flat_from_rows(
@@ -570,36 +616,70 @@ class SchurOps:
                         f"s_cols_{key}_{rt}", cols_b[rsel]):
                     sub = rsel[csel]
                     ck = ("smv", key, rt, ct)
-                    Sg = unflatten_blocks(
-                        S[problem.const(ck + ("sub",), sub.astype(np.int32))],
-                        dr_k, dc_k,
-                    )
-                    xg = problem.rows_view(x, ct)[
-                        problem.const(ck + ("crow",), crow.astype(np.int32))
-                    ].astype(Sg.dtype)
-                    add_rows(rt, jax.ops.segment_sum(
-                        jnp.einsum("krc,kc->kr", Sg, xg).astype(gdt),
-                        problem.const(ck + ("rrow",),
-                                      rrow[csel].astype(np.int32)),
-                        num_segments=problem.seg_rows[rt] + 1,
-                    )[:-1])
+                    K = sub.shape[0]
+                    sub_c = problem.const(ck + ("sub",), sub.astype(np.int32))
+                    crow_c = problem.const(ck + ("crow",),
+                                           crow.astype(np.int32))
+                    rrow_c = problem.const(ck + ("rrow",),
+                                           rrow[csel].astype(np.int32))
+                    x_ct = problem.rows_view(x, ct)
+                    n_seg_r = problem.seg_rows[rt] + 1
+
+                    def smv_body(carry, chunk_arrays, dr_k=dr_k, dc_k=dc_k,
+                                 n_seg=n_seg_r, S=S, x_ct=x_ct):
+                        sb, cr, rr = chunk_arrays
+                        Sg = unflatten_blocks(S[sb], dr_k, dc_k)
+                        xg = x_ct[cr].astype(Sg.dtype)
+                        return carry + jax.ops.segment_sum(
+                            jnp.einsum("krc,kc->kr", Sg, xg).astype(gdt),
+                            rr, num_segments=n_seg,
+                        )
+
+                    acc0 = jnp.zeros((n_seg_r, dr_k), dtype=gdt)
+                    if K <= CHUNK_THRESHOLD:
+                        acc = smv_body(acc0, (sub_c, crow_c, rrow_c))[:-1]
+                    else:
+                        acc = scan_accumulate(
+                            smv_body, (sub_c, crow_c, rrow_c), K, CHUNK, acc0,
+                            fills=[0, 0, n_seg_r - 1],
+                        )[:-1]
+                    add_rows(rt, acc)
                     # transpose contribution for off-diagonal blocks
                     off = rows_b[sub] != cols_b[sub]
                     if np.any(off):
                         o = np.nonzero(off)[0]
-                        St = jnp.swapaxes(
-                            Sg[problem.const(ck + ("o",), o.astype(np.int32))],
-                            -1, -2)
-                        xg2 = problem.rows_view(x, rt)[
-                            problem.const(ck + ("rrow_o",),
-                                          rrow[csel][o].astype(np.int32))
-                        ].astype(Sg.dtype)
-                        add_rows(ct, jax.ops.segment_sum(
-                            jnp.einsum("kcr,kr->kc", St, xg2).astype(gdt),
-                            problem.const(ck + ("crow_o",),
-                                          crow[o].astype(np.int32)),
-                            num_segments=problem.seg_rows[ct] + 1,
-                        )[:-1])
+                        Ko = o.shape[0]
+                        subo_c = problem.const(
+                            ck + ("sub_o",), sub[o].astype(np.int32))
+                        rrow_o = problem.const(
+                            ck + ("rrow_o",), rrow[csel][o].astype(np.int32))
+                        crow_o = problem.const(
+                            ck + ("crow_o",), crow[o].astype(np.int32))
+                        x_rt = problem.rows_view(x, rt)
+                        n_seg_c = problem.seg_rows[ct] + 1
+
+                        def smvt_body(carry, chunk_arrays, dr_k=dr_k,
+                                      dc_k=dc_k, n_seg=n_seg_c, S=S,
+                                      x_rt=x_rt):
+                            sb, rr, cr = chunk_arrays
+                            St = jnp.swapaxes(
+                                unflatten_blocks(S[sb], dr_k, dc_k), -1, -2)
+                            xg2 = x_rt[rr].astype(St.dtype)
+                            return carry + jax.ops.segment_sum(
+                                jnp.einsum("kcr,kr->kc", St, xg2).astype(gdt),
+                                cr, num_segments=n_seg,
+                            )
+
+                        acc0t = jnp.zeros((n_seg_c, dc_k), dtype=gdt)
+                        if Ko <= CHUNK_THRESHOLD:
+                            acct = smvt_body(
+                                acc0t, (subo_c, rrow_o, crow_o))[:-1]
+                        else:
+                            acct = scan_accumulate(
+                                smvt_body, (subo_c, rrow_o, crow_o), Ko,
+                                CHUNK, acc0t, fills=[0, 0, n_seg_c - 1],
+                            )[:-1]
+                        add_rows(ct, acct)
         return problem.flat_from_rows(y_rows, dtype=gdt)[: ss.dim_p]
 
     def landmark_update(self, b: jax.Array,
@@ -629,20 +709,35 @@ class SchurOps:
                         f"hpl_lm_{key}_{pt}", lm_abs[psel]):
                     sub = psel[lsel]
                     ck = ("lu", key, pt, lt)
-                    Hsub = unflatten_blocks(
-                        Hpl[problem.const(ck + ("sub",),
-                                          sub.astype(np.int32))], dp, dl
-                    )
-                    contrib = jnp.einsum(
-                        "kab,ka->kb", Hsub.astype(gdt),
-                        xg[problem.const(ck + ("lsel",),
-                                         lsel.astype(np.int32))].astype(gdt),
-                    )
-                    t_rows[lt] = t_rows[lt] - jax.ops.segment_sum(
-                        contrib,
-                        problem.const(ck + ("lrow",), lrow.astype(np.int32)),
-                        num_segments=problem.seg_rows[lt] + 1,
-                    )[:-1]
+                    K = sub.shape[0]
+                    sub_c = problem.const(ck + ("sub",), sub.astype(np.int32))
+                    lsel_c = problem.const(ck + ("lsel",),
+                                           lsel.astype(np.int32))
+                    lrow_c = problem.const(ck + ("lrow",),
+                                           lrow.astype(np.int32))
+                    n_seg = problem.seg_rows[lt] + 1
+
+                    def lu_body(carry, chunk_arrays, dp=dp, dl=dl,
+                                n_seg=n_seg, Hpl=Hpl, xg=xg):
+                        sb, ls, lr = chunk_arrays
+                        Hsub = unflatten_blocks(Hpl[sb], dp, dl)
+                        contrib = jnp.einsum(
+                            "kab,ka->kb", Hsub.astype(gdt),
+                            xg[ls].astype(gdt),
+                        )
+                        return carry + jax.ops.segment_sum(
+                            contrib, lr, num_segments=n_seg
+                        )
+
+                    acc0 = jnp.zeros((n_seg, dl), dtype=gdt)
+                    if K <= CHUNK_THRESHOLD:
+                        acc = lu_body(acc0, (sub_c, lsel_c, lrow_c))[:-1]
+                    else:
+                        acc = scan_accumulate(
+                            lu_body, (sub_c, lsel_c, lrow_c), K, CHUNK, acc0,
+                            fills=[0, 0, n_seg - 1],
+                        )[:-1]
+                    t_rows[lt] = t_rows[lt] - acc
         return self._hll_solve_rows(t_rows)
 
     def compose_delta(self, dx_p: jax.Array,
