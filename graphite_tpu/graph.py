@@ -43,6 +43,20 @@ from .precision import FP32_FP32, Precision
 from .vertices import VertexSet, VertexType
 
 
+def with_matmul_precision(fn):
+    """Run ``fn`` under the problem's matmul precision (fp32 policies need
+    'highest' on TPU — see Precision.matmul_precision)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kw):
+        problem = next(a for a in args if hasattr(a, "precision"))
+        with jax.default_matmul_precision(problem.precision.matmul_precision):
+            return fn(*args, **kw)
+
+    return wrapped
+
+
 def is_factor_active(level_byte: np.ndarray, opt_level: int) -> np.ndarray:
     """Reference ``is_factor_active`` (active.hpp:11-15)."""
     return ((level_byte & MAX_LEVEL) <= opt_level) & ((level_byte & 0x80) == 0)
@@ -208,13 +222,16 @@ class Problem:
         to argument tracers.
         """
         cell = {}
+        mat_prec = self.precision.matmul_precision
 
         def wrapper(*args):
             if "f" not in cell:
-                jax.eval_shape(fn, *args)  # registers consts, no compile
+                with jax.default_matmul_precision(mat_prec):
+                    jax.eval_shape(fn, *args)  # registers consts, no compile
 
                 def inner(consts, *a):
-                    with self.bind_consts(consts):
+                    with self.bind_consts(consts), \
+                            jax.default_matmul_precision(mat_prec):
                         return fn(*a)
 
                 cell["f"] = jax.jit(inner)

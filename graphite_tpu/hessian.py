@@ -41,6 +41,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .graph import with_matmul_precision
 from .linearize import DIAG_MIN, DIAG_MAX, Linearization, _apply_precision
 from .ops.blockfmt import flatten_blocks, unflatten_blocks
 
@@ -308,6 +309,7 @@ def ensure_csc_structure(problem, hs: HessianStructure) -> HessianStructure:
 HessianValues = Dict[Tuple[int, int], jax.Array]
 
 
+@with_matmul_precision
 def compute_hessian_values(problem, hs: HessianStructure,
                            lin: Linearization) -> HessianValues:
     """H = J^T dL P J into grouped block storage (hessian.hpp:210-220,
@@ -483,6 +485,7 @@ def _diag_rows_by_type(problem, hs: HessianStructure):
     return out
 
 
+@with_matmul_precision
 def apply_damping(problem, hs: HessianStructure, values: HessianValues,
                   diag_backup: jax.Array, damping, use_identity: bool
                   ) -> HessianValues:
@@ -514,6 +517,7 @@ def apply_damping(problem, hs: HessianStructure, values: HessianValues,
     return out
 
 
+@with_matmul_precision
 def csc_values(problem, hs: HessianStructure, values: HessianValues) -> jax.Array:
     """Scatter block values into the full-symmetric scalar CSC value array
     (csc_utils.hpp:149-193)."""

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .graph import FactorArrays, GraphData, Problem
+from .graph import FactorArrays, GraphData, Problem, with_matmul_precision
 from .ops.blockfmt import flatten_blocks, unflatten_blocks
 from .precision import clamp_to_storage
 
@@ -244,6 +244,7 @@ def compute_chi2_block(problem: Problem, name: str, r: jax.Array):
 # Full linearization pass (graph.hpp:236-290)
 # --------------------------------------------------------------------------
 
+@with_matmul_precision
 def linearize(problem: Problem, params) -> Linearization:
     gdt = problem.precision.graph_dtype
     sdt = problem.precision.solver_dtype
@@ -367,6 +368,7 @@ def linearize(problem: Problem, params) -> Linearization:
     )
 
 
+@with_matmul_precision
 def compute_chi2(problem: Problem, params) -> jax.Array:
     """chi2 only (``Graph::compute_error`` + ``chi2``, graph.hpp:221-234)."""
     total = jnp.asarray(0.0, dtype=problem.precision.graph_dtype)
@@ -452,6 +454,7 @@ def _dynamic_JtPv_block(problem, lin, params, name, w, acc):
     return tuple(out)
 
 
+@with_matmul_precision
 def Jv(problem: Problem, lin: Linearization, x: jax.Array,
        params=None) -> Dict[str, jax.Array]:
     """v1 = J x per factor block (ops/product.hpp:49-99).
@@ -495,6 +498,7 @@ def Jv(problem: Problem, lin: Linearization, x: jax.Array,
     return out
 
 
+@with_matmul_precision
 def JtPv(problem: Problem, lin: Linearization, v: Dict[str, jax.Array],
          params=None) -> jax.Array:
     """v2 = J^T dL P v accumulated over all blocks (ops/product.hpp:226-288)."""
@@ -535,6 +539,7 @@ def JtPv(problem: Problem, lin: Linearization, v: Dict[str, jax.Array],
     return problem.allreduce(problem.flat_from_rows(out_rows))
 
 
+@with_matmul_precision
 def hessian_matvec(problem: Problem, lin: Linearization, x: jax.Array,
                    params=None) -> jax.Array:
     """Implicit H x = J^T dL P (J x) — the PCG core (pcg.hpp:141-163)."""

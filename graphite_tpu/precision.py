@@ -66,6 +66,17 @@ class Precision:
         return self.solver_dtype
 
     @property
+    def matmul_precision(self) -> str:
+        """Element-multiplication precision for MXU contractions.
+
+        TPU f32 matmuls default to single-pass bf16 inputs, which destroys
+        the Schur complement's cancellation (S = Hpp - correction) — an
+        fp32 policy must use 'highest' (bf16x3 passes, ~f32-exact). A low
+        solver dtype means the user opted into bf16 arithmetic.
+        """
+        return "default" if is_low_precision(self.solver_dtype) else "highest"
+
+    @property
     def acc_dtype(self):
         """Accumulation dtype for MXU contractions (>= fp32)."""
         g = jnp.dtype(self.graph_dtype)

@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .graph import with_matmul_precision
 from .hessian import HessianValues, build_hessian_structure
 from .ops.batched_linalg import spd_inverse
 from .ops.blockfmt import flatten_blocks, unflatten_blocks
@@ -324,6 +325,7 @@ class SchurValues:
     s_vals: Dict[Tuple[int, int], jax.Array]  # key -> (nS_g, dr*dc) flat
 
 
+@with_matmul_precision
 def schur_values(problem, ss: SchurStructure, hvals: HessianValues
                  ) -> SchurValues:
     """S = Hpp - Hpl Hll^{-1} Hpl^T from damped H values
@@ -538,6 +540,11 @@ class SchurOps:
 
     def b_schur(self, b: jax.Array) -> jax.Array:
         """b_S = b_p - Hpl Hll^{-1} b_l (schur.hpp:886-920) -> (dim_p,)."""
+        with jax.default_matmul_precision(
+                self.problem.precision.matmul_precision):
+            return self._b_schur(b)
+
+    def _b_schur(self, b: jax.Array) -> jax.Array:
         problem = self.problem
         ss = self.ss
         gdt = self._gdt
@@ -597,6 +604,11 @@ class SchurOps:
 
     def s_matvec(self, x: jax.Array) -> jax.Array:
         """y = S x on (dim_p,) vectors (schur.hpp:307-393)."""
+        with jax.default_matmul_precision(
+                self.problem.precision.matmul_precision):
+            return self._s_matvec(x)
+
+    def _s_matvec(self, x: jax.Array) -> jax.Array:
         problem = self.problem
         ss = self.ss
         gdt = self._gdt
@@ -688,6 +700,12 @@ class SchurOps:
 
         Returns per-landmark-type rows (type-row order).
         """
+        with jax.default_matmul_precision(
+                self.problem.precision.matmul_precision):
+            return self._landmark_update(b, dx_p)
+
+    def _landmark_update(self, b: jax.Array,
+                         dx_p: jax.Array) -> Dict[str, jax.Array]:
         problem = self.problem
         ss = self.ss
         gdt = self._gdt
