@@ -25,6 +25,7 @@ import time
 
 BASELINE_ITERS_PER_SEC = 20.0  # stand-in CUDA-reference estimate (see above)
 ITERATIONS = 20
+SIZE = sys.argv[1] if len(sys.argv) > 1 else "ladybug"
 
 
 def log(*a):
@@ -48,7 +49,7 @@ def main():
 
     log(f"devices: {jax.devices()}")
     t0 = time.perf_counter()
-    ds = synthetic.make_bal("ladybug", seed=0)
+    ds = synthetic.make_bal(SIZE, seed=0)
     g, *_ = bal_io.build_graph(ds, precision=gt.FP32_FP32)
     problem = g.freeze()
     log(f"problem built: {ds.num_cameras} cams / {ds.num_points} pts / "
@@ -76,8 +77,9 @@ def main():
         log(f"timed run: {dt:.3f}s ({res.iterations / dt:.2f} iters/sec)")
 
     iters_per_sec = res.iterations / best
+    metric_size = "ladybug49" if SIZE == "ladybug" else SIZE
     print(json.dumps({
-        "metric": "bal_ladybug49_lm_pcg_schur_iters_per_sec",
+        "metric": f"bal_{metric_size}_lm_pcg_schur_iters_per_sec",
         "value": round(iters_per_sec, 3),
         "unit": "iter/s",
         "vs_baseline": round(iters_per_sec / BASELINE_ITERS_PER_SEC, 3),
