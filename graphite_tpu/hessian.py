@@ -58,6 +58,11 @@ class ContribMap:
     direct_idx: Optional[np.ndarray]  # (F,) int32 or None if all-trash
     trans_group: Tuple[int, int]
     trans_idx: Optional[np.ndarray]
+    # when the direct map hits each target block at most once AND this is the
+    # group's only contributor, the scatter degenerates to an inverse-
+    # permutation GATHER (faster than scatter-add on TPU): (n_g+1,) source
+    # factor index, or F (zero row) for untouched blocks
+    direct_gather: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass
@@ -187,6 +192,31 @@ def build_hessian_structure(problem) -> HessianStructure:
                        tkey,
                        None if trans_idx is None else trans_idx.astype(np.int32))
         )
+
+    # Unique-destination detection: if exactly ONE contribution map targets a
+    # group and every non-trash target is hit at most once, replace the
+    # scatter-add with an inverse-permutation gather.
+    by_group = {}
+    for cm in contribs:
+        if cm.direct_idx is not None:
+            by_group.setdefault(cm.direct_group, []).append(("d", cm))
+        if cm.trans_idx is not None:
+            by_group.setdefault(cm.trans_group, []).append(("t", cm))
+    for group, entries in by_group.items():
+        if len(entries) != 1 or entries[0][0] != "d":
+            continue
+        cm = entries[0][1]
+        ng = group_counts[group]
+        idx = cm.direct_idx
+        hits = np.bincount(idx[idx < ng], minlength=ng)
+        if hits.max(initial=0) > 1:
+            continue
+        F = idx.shape[0]
+        inv = np.full(ng + 1, F, dtype=np.int32)  # F -> zero source row
+        src = np.nonzero(idx < ng)[0]
+        inv[idx[src]] = src
+        inv[ng] = F
+        cm.direct_gather = inv
 
     # 4. Diagonal-block lookup per block column.
     cols_j = np.arange(n_cols)
@@ -371,7 +401,15 @@ def compute_hessian_values(problem, hs: HessianStructure,
                 "fer,fec->frc", unflat_j(cm.fname, cm.s), pj(cm.fname, cm.t),
                 preferred_element_type=acc,
             ) * dL_of(lin, cm.fname, acc)[:, None, None]
-            if cm.direct_idx is not None:
+            if (cm.direct_gather is not None
+                    and problem.psum_axis is None):
+                inv = problem.const(("hess_g", ci), cm.direct_gather)
+                flat = flatten_blocks(blk).astype(inv_dt)
+                padded = jnp.concatenate(
+                    [flat, jnp.zeros((1, flat.shape[1]), dtype=inv_dt)]
+                )
+                values[cm.direct_group] = values[cm.direct_group] + padded[inv]
+            elif cm.direct_idx is not None:
                 contribute(cm.direct_group, cm.direct_idx,
                            flatten_blocks(blk), ("hess_d", ci), n_local)
             if cm.trans_idx is not None:
