@@ -431,11 +431,31 @@ class Graph:
                 return 0
             return (-n) % pad_factors_to
 
+        # Empty descriptors: the reference prints an error and continues
+        # (graph.hpp:174-186); here empty sets are warned about and skipped
+        # entirely (a zero-length factor block can't even call its residual).
+        import sys
+
+        for name, vs in self.vertex_sets.items():
+            if vs.count == 0:
+                print(f"Error: Vertex set '{name}' has no entries.",
+                      file=sys.stderr)
+        skipped_factor_sets = set()
+        for name, fs in self.factor_sets.items():
+            if fs.count == 0:
+                print(f"Error: Factor set '{name}' has no entries.",
+                      file=sys.stderr)
+                skipped_factor_sets.add(name)
+        factor_sets_active = {
+            name: fs for name, fs in self.factor_sets.items()
+            if name not in skipped_factor_sets
+        }
+
         # 1. Active factors per set + local id resolution.
         factor_ids_local: Dict[str, np.ndarray] = {}
         factor_mask: Dict[str, np.ndarray] = {}
         factor_levels: Dict[str, np.ndarray] = {}
-        for name, fs in self.factor_sets.items():
+        for name, fs in factor_sets_active.items():
             gids = fs.ids_array()  # (F, N) global
             npad = _pad_count(gids.shape[0])
             if npad:
@@ -477,7 +497,7 @@ class Graph:
             name: np.zeros(vs.count, dtype=bool)
             for name, vs in self.vertex_sets.items()
         }
-        for name, fs in self.factor_sets.items():
+        for name, fs in factor_sets_active.items():
             mask = factor_mask[name]
             local = factor_ids_local[name]
             for slot, vt in enumerate(fs.ftype.vertex_types):
@@ -627,7 +647,7 @@ class Graph:
                            dtype=arr.dtype)
             return np.concatenate([arr, pad], axis=0)
 
-        for name, fs in self.factor_sets.items():
+        for name, fs in factor_sets_active.items():
             local = factor_ids_local[name]
             fmask = factor_mask[name]
             n = local.shape[0]  # padded count

@@ -118,3 +118,29 @@ def test_arity_mismatch_raises():
     fs = g.add_factor_set(BINARY)
     with pytest.raises(ValueError):
         fs.add([100], obs=[0.0, 0.0])
+
+
+def test_empty_factor_set_skipped(capsys):
+    g, vs = make_vs()
+    fs_used = g.add_factor_set(CIRCLE_AUTO)
+    for i in range(5):
+        fs_used.add([100 + i], obs=1.0)
+    fs_empty = g.add_factor_set(BINARY)  # never populated
+    problem = g.freeze()
+    err = capsys.readouterr().err
+    assert "has no entries" in err
+    assert "binary2" not in problem.factor_meta
+    from graphite_tpu.linearize import linearize
+
+    lin = linearize(problem, problem.params0)
+    assert float(lin.chi2) >= 0.0
+
+
+def test_empty_vertex_set_warns(capsys):
+    g = gt.Graph(precision=gt.FP64_FP64)
+    vs = g.add_vertex_set(POINT2)  # empty
+    fs = g.add_factor_set(CIRCLE_AUTO)
+    problem = g.freeze()
+    err = capsys.readouterr().err
+    assert "has no entries" in err
+    assert problem.dim_h == 0
