@@ -40,6 +40,7 @@ def _host_sparse_solve(indptr, indices, dim):
     import scipy.sparse.linalg as spla
 
     def solve(values, b):
+        out_dtype = np.asarray(b).dtype  # match the callback signature
         values = np.asarray(values, dtype=np.float64)
         b = np.asarray(b, dtype=np.float64)
         A = sp.csc_matrix((values, indices, indptr), shape=(dim, dim))
@@ -48,7 +49,7 @@ def _host_sparse_solve(indptr, indices, dim):
             x = lu.solve(b)
         except Exception:
             x = np.full(dim, np.nan)
-        return x.astype(b.dtype)
+        return x.astype(out_dtype)
 
     return solve
 
