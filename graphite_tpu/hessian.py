@@ -535,11 +535,14 @@ def apply_damping(problem, hs: HessianStructure, values: HessianValues,
     out = dict(values)
     for name, (key, idxs) in _diag_rows_by_type(problem, hs).items():
         d = key[0]
-        d0 = problem.rows_view(diag_backup, name).astype(values[key].dtype)
+        store_dt = values[key].dtype
+        d0 = problem.rows_view(diag_backup, name).astype(store_dt)
+        mu = jnp.asarray(damping).astype(store_dt)
         if use_identity:
-            dnew = d0 + damping
+            dnew = d0 + mu
         else:
-            dnew = d0 + damping * jnp.clip(d0, DIAG_MIN, DIAG_MAX)
+            dnew = d0 + mu * jnp.clip(d0, DIAG_MIN, DIAG_MAX)
+        dnew = dnew.astype(store_dt)
         idxs_j = problem.const(("damp_idx", name), idxs)
         # flat (n, d*d) blocks: diagonal entries sit at i*d+i; overwrite them
         # with the damped backup via a static diag mask.
