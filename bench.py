@@ -10,6 +10,16 @@ per-iteration throughput, each iteration being: solve (Schur rebuild + 10
 PCG iterations) + update + chi2 + accept/reject (+ full relinearization and
 Hessian reassembly on accepted steps).
 
+Grounding: alongside the headline iters/sec the JSON carries a FLOP/MFU
+ledger (graphite_tpu/perf.py) — useful FLOPs counted analytically from the
+static structure, per-stage device milliseconds measured with the program
+floor subtracted (one program execution over the axon tunnel costs ~25 ms
+regardless of content; stage loops amortize it over N=200 calls), achieved
+GFLOP/s per stage, and MFU against the chip's bf16 peak. This workload is
+gather/scatter-bound (3x3..9x9 blocks), so MFU is intrinsically low; the
+meaningful roofline is HBM bandwidth and the per-stage ms are the numbers
+optimization decisions are made from (BENCHMARKS.md).
+
 Baseline: the reference publishes no numbers (BASELINE.md) and no CUDA GPU
 exists in this environment to measure one, so ``vs_baseline`` is computed
 against BASELINE_ITERS_PER_SEC, a stand-in estimate of the CUDA reference's
@@ -26,25 +36,60 @@ import time
 BASELINE_ITERS_PER_SEC = 20.0  # stand-in CUDA-reference estimate (see above)
 ITERATIONS = 20
 SIZE = sys.argv[1] if len(sys.argv) > 1 else "ladybug"
+STAGE_N = 200  # per-stage loop count (amortizes the ~25 ms program floor)
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def measure_floor(jax, jnp):
+    """Fixed cost of one program execution over the tunnel (ms)."""
+    x = jnp.ones((8,), jnp.float32)
+    f = jax.jit(lambda: jax.lax.fori_loop(
+        0, STAGE_N, lambda i, a: a + (x * (1 + a * 1e-30)).sum() * 1e-30,
+        jnp.float32(0)))
+    jax.block_until_ready(f())
+    best = float("inf")
+    for _ in range(3):
+        t = time.perf_counter()
+        jax.block_until_ready(f())
+        best = min(best, time.perf_counter() - t)
+    return best * 1e3
+
+
+def stage_ms(jax, jnp, body, floor_ms):
+    f = jax.jit(lambda: jax.lax.fori_loop(0, STAGE_N, body, jnp.float32(0)))
+    jax.block_until_ready(f())
+    best = float("inf")
+    for _ in range(2):
+        t = time.perf_counter()
+        jax.block_until_ready(f())
+        best = min(best, time.perf_counter() - t)
+    return max(best * 1e3 - floor_ms, 0.0) / STAGE_N
+
+
 def main():
     import jax
+    import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/graphite_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import graphite_tpu as gt
+    from graphite_tpu import perf
+    from graphite_tpu.hessian import (
+        build_hessian_structure,
+        compute_hessian_values,
+    )
     from graphite_tpu.io import bal as bal_io
     from graphite_tpu.io import synthetic
+    from graphite_tpu.linearize import linearize
     from graphite_tpu.optimizers import (
         LevenbergMarquardtOptions,
         levenberg_marquardt,
     )
+    from graphite_tpu.schur import build_schur_structure, schur_values
     from graphite_tpu.solvers import PCGSchurSolver
 
     log(f"devices: {jax.devices()}")
@@ -77,12 +122,86 @@ def main():
         log(f"timed run: {dt:.3f}s ({res.iterations / dt:.2f} iters/sec)")
 
     iters_per_sec = res.iterations / best
+    accept_rate = res.accepted_steps / max(res.iterations, 1)
+
+    # ---- FLOP/MFU ledger + per-stage device timings ------------------------
+    led = perf.flop_ledger(problem, pcg_iters=solver.max_iter)
+    hs = build_hessian_structure(problem)
+    ss = build_schur_structure(problem)
+    params = problem.params0
+    floor_ms = measure_floor(jax, jnp)
+    log(f"program floor: {floor_ms:.1f} ms (N={STAGE_N})")
+
+    lin0 = jax.jit(lambda p: linearize(problem, p))(params)
+    hv0 = jax.jit(lambda l: compute_hessian_values(problem, hs, l))(lin0)
+
+    def lin_body(i, acc):
+        p = {k: v + acc * 1e-30 for k, v in params.items()}
+        return acc + linearize(problem, p).chi2 * 1e-30
+
+    def hess_body(i, acc):
+        import dataclasses
+        lin = dataclasses.replace(
+            lin0, chi2_deriv={k: v + acc * 1e-30
+                              for k, v in lin0.chi2_deriv.items()})
+        hv = compute_hessian_values(problem, hs, lin)
+        return acc + jnp.sum(next(iter(hv.values()))[0]) * 1e-30
+
+    def schur_body(i, acc):
+        hv = {k: v + acc * 1e-30 for k, v in hv0.items()}
+        sv = schur_values(problem, ss, hv)
+        return acc + jnp.sum(next(iter(sv.s_vals.values()))[0]) * 1e-30
+
+    def solve_body(i, acc):
+        import dataclasses
+        lin = dataclasses.replace(lin0, b=lin0.b + acc * 1e-30)
+        from graphite_tpu.solvers.pcg_schur import SchurSolverState
+        dx, ok = solver.solve(problem, lin, SchurSolverState(hvals=hv0),
+                              jnp.asarray(1e-4, lin0.b.dtype) + acc * 1e-30,
+                              False, params=params)
+        return acc + dx[0] * 1e-30
+
+    schur_flops = (led.get("hll_inverse", 0) + led.get("hpl_w", 0)
+                   + led.get("triple_products", 0))
+    stages = {}
+    for name, body, flops in (
+        ("linearize", lin_body, None),
+        ("hessian_values", hess_body, led.get("hessian_values")),
+        ("schur_values", schur_body, schur_flops),
+        ("solve_full", solve_body, None),
+    ):
+        ms = stage_ms(jax, jnp, body, floor_ms)
+        stages[name] = dict(ms=round(ms, 3))
+        if flops:
+            stages[name]["gflops"] = round(flops / (ms * 1e6 + 1e-30), 1)
+        log(f"stage {name:<16} {ms:7.3f} ms"
+            + (f"  {stages[name]['gflops']:7.1f} GFLOP/s" if flops else ""))
+
+    # useful FLOPs per LM iteration: solve stages every iteration, linearize
+    # + Hessian reassembly only on accepted steps
+    per_iter_flops = (
+        sum(led.get(k, 0.0) for k in
+            ("hll_inverse", "hpl_w", "triple_products", "b_schur",
+             "pcg_matvec", "precond", "backsub"))
+        + accept_rate * led.get("hessian_values", 0.0)
+    )
+    peak = perf.device_peak()
+    mfu = (per_iter_flops * iters_per_sec / peak["bf16"]
+           if peak["bf16"] else 0.0)
+
     metric_size = "ladybug49" if SIZE == "ladybug" else SIZE
     print(json.dumps({
         "metric": f"bal_{metric_size}_lm_pcg_schur_iters_per_sec",
         "value": round(iters_per_sec, 3),
         "unit": "iter/s",
         "vs_baseline": round(iters_per_sec / BASELINE_ITERS_PER_SEC, 3),
+        "per_iter_ms": round(1e3 / iters_per_sec, 2),
+        "useful_mflop_per_iter": round(per_iter_flops / 1e6, 1),
+        "mfu_pct": round(100 * mfu, 4),
+        "accept_rate": round(accept_rate, 2),
+        "ledger_mflop": {k: round(v / 1e6, 1) for k, v in led.items()},
+        "stages": stages,
+        "chi2_final": float(f"{res.chi2:.6g}"),
     }))
 
 

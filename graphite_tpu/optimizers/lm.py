@@ -257,16 +257,21 @@ def levenberg_marquardt(problem, solver, params=None,
 
             problem._cache[key] = problem.jit_with_consts(run_all)
         carry = _initial_carry(problem, solver, params, options)
-        initial_chi2 = float(carry.chi2)
+        initial_chi2 = carry.chi2  # read back together with the results
         carry = problem._cache[key](carry)
+        # ONE batched device->host transfer: individual float()/int() pulls
+        # each pay a full RPC round-trip on remote-attached TPUs.
+        chi2, initial_chi2, mu, k, num_accepted, run = jax.device_get(
+            (carry.chi2, initial_chi2, carry.mu, carry.k,
+             carry.num_accepted, carry.run))
         return LMResult(
             params=carry.params,
-            chi2=float(carry.chi2),
-            initial_chi2=initial_chi2,
-            mu=float(carry.mu),
-            iterations=int(carry.k),
-            accepted_steps=int(carry.num_accepted),
-            run_ok=bool(carry.run),
+            chi2=float(chi2),
+            initial_chi2=float(initial_chi2),
+            mu=float(mu),
+            iterations=int(k),
+            accepted_steps=int(num_accepted),
+            run_ok=bool(run),
             history=[],
         )
 
@@ -293,19 +298,22 @@ def levenberg_marquardt(problem, solver, params=None,
         t0 = _time.perf_counter()
         prev_chi2 = float(carry.chi2)
         carry = step(carry)
-        chi2 = float(carry.chi2)  # host sync, as the reference does per iter
-        mu = float(carry.mu)
-        rho = float(carry.rho)
+        # one batched host sync per iteration (the reference syncs scalars
+        # per iteration too, levenberg_marquardt.hpp:166-238)
+        chi2, mu, rho, accepted, run = (
+            jax.device_get((carry.chi2, carry.mu, carry.rho,
+                            carry.accepted, carry.run)))
+        chi2, mu, rho = float(chi2), float(mu), float(rho)
         dt = _time.perf_counter() - t0
         total += dt
         history.append(
             dict(iteration=i, chi2_before=prev_chi2, chi2=chi2, mu=mu,
-                 rho=rho, accepted=bool(carry.accepted), time=dt)
+                 rho=rho, accepted=bool(accepted), time=dt)
         )
         if options.verbose:
             print(f"{i:>12d} {prev_chi2:>18.10g} {chi2:>18.10g} "
                   f"{mu:>14.6g} {dt:>12.4g} {total:>12.4g}")
-        if not bool(carry.run):
+        if not bool(run):
             import math
 
             if not math.isfinite(mu):
