@@ -16,6 +16,7 @@ segment_sum (86545, 9, 9) -> 1274 takes 9.0 ms as 3-D vs 1.8 ms as 2-D.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 
 def flatten_blocks(a: jax.Array) -> jax.Array:
@@ -27,3 +28,68 @@ def flatten_blocks(a: jax.Array) -> jax.Array:
 def unflatten_blocks(a: jax.Array, r: int, c: int) -> jax.Array:
     """(N, r*c) -> (N, r, c)."""
     return a.reshape(a.shape[0], r, c)
+
+
+# --------------------------------------------------------------------------
+# Fused flat block products (VPU)
+#
+# A batched einsum over (N, r, c) blocks produces a tile-padded 3-D result;
+# XLA only avoids materializing it when the consumer fuses (segment_sum
+# does, a pallas_call or a gather does NOT — at (86545, 9, 9) f32 that is a
+# 212 MB HBM round-trip, ~2.6 ms, dominating the whole Schur stage). These
+# helpers compute small-block matmuls directly in flat (N, r*c) layout as a
+# k-length loop of column repeat/tile multiplies — pure 2-D elementwise VPU
+# work that XLA fuses end-to-end, with exact fp32 multiplies (no bf16
+# matmul passes), so results are bit-identical to a HIGHEST-precision MXU
+# einsum or better.
+#
+# Use for k (the contraction dim) small (<= ~16); for large blocks the MXU
+# einsum wins despite the relayout.
+# --------------------------------------------------------------------------
+
+
+def flat_block_mm_nn(a_flat: jax.Array, b_flat: jax.Array,
+                     m: int, k: int, n: int, acc_dtype=None) -> jax.Array:
+    """Per-row block product A @ B in flat layout.
+
+    a_flat: (N, m*k) row-major blocks; b_flat: (N, k*n) row-major blocks.
+    Returns (N, m*n): out[i, a*n+c] = sum_b A[i, a, b] * B[i, b, c].
+    """
+    acc_dtype = acc_dtype or jnp.result_type(a_flat.dtype, b_flat.dtype)
+    out = None
+    for b in range(k):
+        a_col = a_flat[:, b::k].astype(acc_dtype)  # (N, m): A[:, :, b]
+        b_row = b_flat[:, b * n:(b + 1) * n].astype(acc_dtype)  # (N, n)
+        term = (jnp.repeat(a_col, n, axis=1)
+                * jnp.tile(b_row, (1, m)))
+        out = term if out is None else out + term
+    return out
+
+
+def flat_block_mm_nt(a_flat: jax.Array, b_flat: jax.Array,
+                     m: int, k: int, n: int, acc_dtype=None) -> jax.Array:
+    """Per-row block product A @ B^T in flat layout.
+
+    a_flat: (N, m*k); b_flat: (N, n*k). Returns (N, m*n):
+    out[i, a*n+d] = sum_b A[i, a, b] * B[i, d, b].
+    """
+    acc_dtype = acc_dtype or jnp.result_type(a_flat.dtype, b_flat.dtype)
+    out = None
+    for b in range(k):
+        a_col = a_flat[:, b::k].astype(acc_dtype)  # (N, m): A[:, :, b]
+        b_col = b_flat[:, b::k].astype(acc_dtype)  # (N, n): B[:, :, b]
+        term = (jnp.repeat(a_col, n, axis=1)
+                * jnp.tile(b_col, (1, m)))
+        out = term if out is None else out + term
+    return out
+
+
+def flat_block_mv(a_flat: jax.Array, x: jax.Array, m: int, k: int,
+                  acc_dtype=None) -> jax.Array:
+    """Per-row block matvec A @ x in flat layout.
+
+    a_flat: (N, m*k); x: (N, k). Returns (N, m).
+    """
+    acc_dtype = acc_dtype or jnp.result_type(a_flat.dtype, x.dtype)
+    a3 = a_flat.reshape(a_flat.shape[0], m, k).astype(acc_dtype)
+    return jnp.einsum("nmk,nk->nm", a3, x.astype(acc_dtype))

@@ -249,16 +249,20 @@ def levenberg_marquardt(problem, solver, params=None,
         if key not in problem._cache:
             step = _lm_iteration(problem, solver, options)
 
-            def run_all(carry):
+            def run_all(p):
+                # initial linearize/prepare fused into the same program as
+                # the while loop: one device program per optimization call
+                # (a separate init program pays a full RPC round-trip on
+                # remote-attached TPUs)
+                carry0 = _initial_carry_traced(problem, solver, p, options)
+
                 def cond(c):
                     return (c.k < options.iterations) & c.run
 
-                return jax.lax.while_loop(cond, step, carry)
+                return carry0.chi2, jax.lax.while_loop(cond, step, carry0)
 
             problem._cache[key] = problem.jit_with_consts(run_all)
-        carry = _initial_carry(problem, solver, params, options)
-        initial_chi2 = carry.chi2  # read back together with the results
-        carry = problem._cache[key](carry)
+        initial_chi2, carry = problem._cache[key](params)
         # ONE batched device->host transfer: individual float()/int() pulls
         # each pay a full RPC round-trip on remote-attached TPUs.
         chi2, initial_chi2, mu, k, num_accepted, run = jax.device_get(

@@ -42,7 +42,12 @@ import numpy as np
 from .graph import with_matmul_precision
 from .hessian import HessianValues, build_hessian_structure
 from .ops.batched_linalg import spd_inverse
-from .ops.blockfmt import flatten_blocks, unflatten_blocks
+from .ops.blockfmt import (
+    flat_block_mm_nn,
+    flat_block_mm_nt,
+    flatten_blocks,
+    unflatten_blocks,
+)
 from .ops.chunked import scan_accumulate, scan_map
 
 # Above this row count, block-batch einsums run in lax.scan chunks so their
@@ -374,13 +379,11 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
         K = hpl_flat.shape[0]
 
         def w_body(chunk_arrays, dp=dp, dl=dl):
+            # fused 2-D VPU block product: no 3-D tile-padded transient and
+            # exact fp32 multiplies (ops/blockfmt.py)
             hf, mf = chunk_arrays
-            Hpl3 = unflatten_blocks(hf, dp, dl).astype(inv_dt)
-            M3 = unflatten_blocks(mf, dl, dl)
-            return flatten_blocks(
-                jnp.einsum("kab,kbc->kac", Hpl3, M3,
-                           preferred_element_type=inv_dt)
-            )
+            return flat_block_mm_nn(hf.astype(inv_dt), mf, dp, dl, dl,
+                                    acc_dtype=inv_dt)
 
         if K <= CHUNK_THRESHOLD:
             hpl_w[key] = w_body((hpl_flat, mid_flat))
@@ -398,14 +401,15 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
         Rsrc = hvals[pg["right_key"]]
 
         if K <= CHUNK_THRESHOLD:
-            W = unflatten_blocks(Wsrc[left], dpa, dl)
-            R = unflatten_blocks(Rsrc[right], dpb, dl).astype(inv_dt)
-            # dst -= W R^T  (ops/schur.hpp:117-188)
-            prod = jnp.einsum(
-                "kab,kdb->kad", W, R, preferred_element_type=inv_dt
+            # dst -= W R^T (ops/schur.hpp:117-188), as a fused flat 2-D VPU
+            # product: a batched einsum's (K, dpa, dpb) output is tile-padded
+            # ~16x in HBM and cannot fuse into the Pallas scatter call.
+            prod_flat = flat_block_mm_nt(
+                Wsrc[left], Rsrc[right].astype(inv_dt), dpa, dl, dpb,
+                acc_dtype=inv_dt,
             )
             s_vals[key] = s_vals[key] - _product_scatter(
-                problem, ss, gi, pg, flatten_blocks(prod), inv_dt
+                problem, ss, gi, pg, prod_flat, inv_dt
             )
         else:
             ns = ss.s_sizes[key]
@@ -413,12 +417,12 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
             def prod_body(carry, chunk_arrays, dpa=dpa, dl=dl, dpb=dpb,
                           ns=ns, Wsrc=Wsrc, Rsrc=Rsrc):
                 li, ri, di = chunk_arrays
-                W = unflatten_blocks(Wsrc[li], dpa, dl)
-                R = unflatten_blocks(Rsrc[ri], dpb, dl).astype(inv_dt)
-                prod = jnp.einsum("kab,kdb->kad", W, R,
-                                  preferred_element_type=inv_dt)
+                prod_flat = flat_block_mm_nt(
+                    Wsrc[li], Rsrc[ri].astype(inv_dt), dpa, dl, dpb,
+                    acc_dtype=inv_dt,
+                )
                 return carry + jax.ops.segment_sum(
-                    flatten_blocks(prod), di, num_segments=ns + 1
+                    prod_flat, di, num_segments=ns + 1
                 )
 
             acc0 = jnp.zeros((ns + 1, dpa * dpb), dtype=inv_dt)
