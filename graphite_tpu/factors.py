@@ -310,6 +310,12 @@ class FactorSet:
         parts += [c["levels"] for c in self._bulk]
         return np.concatenate(parts).astype(np.int64)
 
+    def handle_array(self) -> np.ndarray:
+        """Handle of each factor in storage order (parallel to ids)."""
+        parts = [np.asarray(self.handles, dtype=np.int64)]
+        parts += [np.asarray(c["handles"], dtype=np.int64) for c in self._bulk]
+        return np.concatenate(parts).astype(np.int64)
+
     def obs_array(self) -> Optional[np.ndarray]:
         if self.obs and self.obs[0] is None:
             return None

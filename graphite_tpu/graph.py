@@ -164,6 +164,7 @@ class Problem:
         # cross-factor reductions (b, diag, chi2, J^T v, Hessian values) are
         # psum'ed over this axis — the TPU analog of multi-GPU assembly.
         self.psum_axis = None
+        self.psum_size = None  # mesh axis size (enables Schur-stage sharding)
         # Large static index arrays (Hessian/Schur scatter maps). When a
         # jitted entry point binds tracers (bind_consts), `const` returns the
         # corresponding argument tracer so multi-hundred-MB index arrays ride
@@ -213,6 +214,23 @@ class Problem:
 
         return ctx()
 
+    def bind_data(self, data):
+        """Temporarily swap ``self.data`` (used by jit_with_consts so the
+        GraphData pytree rides as an executable ARGUMENT — runtime remasking
+        then only swaps array values, never retracing)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def ctx():
+            prev = self.data
+            self.data = data
+            try:
+                yield
+            finally:
+                self.data = prev
+
+        return ctx()
+
     def jit_with_consts(self, fn):
         """jit ``fn(*args)`` with this problem's static index arrays passed
         as arguments rather than inlined HLO constants.
@@ -229,14 +247,15 @@ class Problem:
                 with jax.default_matmul_precision(mat_prec):
                     jax.eval_shape(fn, *args)  # registers consts, no compile
 
-                def inner(consts, *a):
-                    with self.bind_consts(consts), \
+                def inner(consts, data, *a):
+                    with self.bind_consts(consts), self.bind_data(data), \
                             jax.default_matmul_precision(mat_prec):
                         return fn(*a)
 
                 cell["f"] = jax.jit(inner)
-            return cell["f"](self.consts(), *args)
+            return cell["f"](self.consts(), self.data, *args)
 
+        wrapper._cell = cell  # introspection: tests assert no-retrace
         return wrapper
 
     # ---- row-view helpers (TPU-fast gathers/scatters) ---------------------
@@ -290,18 +309,100 @@ class Problem:
         start = jax.lax.axis_index(self.psum_axis) * n_local
         return jax.lax.dynamic_slice_in_dim(arr, start, n_local, 0)
 
-    def shard_replica(self, data: "GraphData", axis: str) -> "Problem":
+    def shard_replica(self, data: "GraphData", axis: str,
+                      n_devices: Optional[int] = None) -> "Problem":
         """Shallow copy bound to shard-local data, reducing over ``axis``.
 
         Used inside ``shard_map``: static metadata and caches are shared;
         only the factor arrays differ (each device sees its F/n slice).
+        ``n_devices`` (the mesh axis size) additionally enables sharding of
+        the Schur triple-product stage (schur.py) — without it that stage
+        runs replicated.
         """
         import copy
 
         p = copy.copy(self)
         p.data = data
         p.psum_axis = axis
+        p.psum_size = n_devices
         return p
+
+    # ---- runtime remasking (remaskable freezes) ----------------------------
+    def remask(self, opt_level: Optional[int] = None) -> None:
+        """Recompute activity masks at ``opt_level`` without refreezing.
+
+        The reference re-runs ``initialize_optimization(level)`` per
+        optimizer call (graph.hpp:92-167, factor.hpp:419-461) so levels /
+        active flags / fixed flags can change between runs at O(setup)
+        cost. Here — on a problem frozen with ``remaskable=True`` — only
+        the GraphData mask leaves are rebuilt (O(#factors) NumPy) and
+        swapped in as new jit ARGUMENTS: shapes are static, nothing
+        retraces, structure is never rediscovered.
+        """
+        if not getattr(self, "remaskable", False):
+            raise ValueError(
+                "runtime remasking requires Graph.freeze(remaskable=True)")
+        if opt_level is not None:
+            self.opt_level = int(opt_level)
+        host = self.host
+        factor_mask = {
+            name: is_factor_active(host.factor_levels[name], self.opt_level)
+            for name in host.factor_levels
+        }
+        referenced = {
+            name: np.zeros(vm.count, dtype=bool)
+            for name, vm in self.vertex_meta.items()
+        }
+        for name, local in host.factor_ids.items():
+            mask = factor_mask[name]
+            for slot, vt in enumerate(self.factor_meta[name].ftype.vertex_types):
+                np.logical_or.at(referenced[vt.name], local[mask, slot], True)
+        vertex_active = {
+            name: referenced[name] & ~host.vertex_fixed[name]
+            for name in referenced
+        }
+        vdata = {
+            name: VertexArrays(
+                col_offset=va.col_offset,
+                active=jnp.asarray(vertex_active[name]),
+                active_row=va.active_row,
+            )
+            for name, va in self.data.vertices.items()
+        }
+        fdata = {}
+        for name, fa in self.data.factors.items():
+            local = host.factor_ids[name]
+            fmask = factor_mask[name]
+            smask = np.zeros(local.shape, dtype=bool)
+            for slot, vt in enumerate(
+                    self.factor_meta[name].ftype.vertex_types):
+                smask[:, slot] = fmask & vertex_active[vt.name][local[:, slot]]
+            fdata[name] = dataclasses.replace(
+                fa, factor_mask=jnp.asarray(fmask),
+                slot_mask=jnp.asarray(smask),
+            )
+        self.data = GraphData(vertices=vdata, factors=fdata)
+        host.factor_mask = factor_mask
+        host.vertex_active = vertex_active
+
+    def set_opt_level(self, level: int) -> None:
+        """Switch optimization level post-freeze (active.hpp:11-15)."""
+        self.remask(opt_level=level)
+
+    def set_factor_active(self, fname: str, handle: int,
+                          level_byte: int) -> None:
+        """Post-freeze ``FactorDescriptor::set_active`` (factor.hpp:419):
+        bits 0-6 = level, MSB = disabled."""
+        idx = self.host.factor_handle_index[fname][int(handle)]
+        self.host.factor_levels[fname][idx] = int(level_byte)
+        self.remask()
+
+    def set_vertex_fixed(self, vname: str, global_id: int,
+                         fixed: bool = True) -> None:
+        """Post-freeze ``VertexDescriptor::set_fixed`` (vertex.hpp:262)."""
+        local = self.host_local_index(vname, global_id)
+        self.host.vertex_fixed[vname][local] = bool(fixed)
+        self.remask()
 
     # number of columns in the flat internal vectors (b, delta_x, diag, ...)
     @property
@@ -363,6 +464,11 @@ class HostStructure:
     factor_mask: Dict[str, np.ndarray]
     slot_mask: Dict[str, np.ndarray]
     global_id_maps: Dict[str, dict] = dataclasses.field(default_factory=dict)
+    # recorded for runtime remasking (remaskable freezes)
+    factor_levels: Dict[str, np.ndarray] = dataclasses.field(
+        default_factory=dict)
+    factor_handle_index: Dict[str, dict] = dataclasses.field(
+        default_factory=dict)
 
 
 class Graph:
@@ -411,13 +517,24 @@ class Graph:
     # ---- freeze ------------------------------------------------------------
     def freeze(self, opt_level: int = 0,
                precision: Optional[Precision] = None,
-               pad_factors_to: int = 1) -> Problem:
+               pad_factors_to: int = 1,
+               remaskable: bool = False) -> Problem:
         """Discover structure and build the jit-ready `Problem`.
 
         Mirrors ``Graph::initialize_optimization`` (graph.hpp:92-167):
         sort vertices by (eliminated, global id), map factor global ids to
         local ids, deactivate unreferenced/fixed vertices, assign Hessian
         block columns with eliminated descriptors last.
+
+        ``remaskable=True`` assigns Hessian columns to EVERY vertex (not
+        just currently-active ones) and records factor levels, so
+        optimization levels / factor activity / fixed flags can be changed
+        AFTER freeze via `Problem.remask` and friends at O(masks) cost —
+        no structure rediscovery, no retrace (the reference instead re-runs
+        ``initialize_optimization(level)`` per optimize call at O(setup),
+        graph.hpp:92-167). Inactive vertices then contribute zeros and are
+        held exactly in place by the update's activity mask; their
+        damping-only diagonal keeps all solves well-posed.
         """
         precision = precision or self.precision
         gdt = precision.graph_dtype
@@ -505,6 +622,16 @@ class Graph:
         vertex_active = {}
         for name, vs in self.vertex_sets.items():
             vertex_active[name] = referenced[name] & ~vs.fixed_array()
+        # Column-active set: drives Hessian column assignment. In remaskable
+        # mode EVERY vertex gets a column so later mask changes never alter
+        # shapes; runtime activity lives only in the GraphData mask leaves.
+        if remaskable:
+            col_active = {
+                name: np.ones(vs.count, dtype=bool)
+                for name, vs in self.vertex_sets.items()
+            }
+        else:
+            col_active = vertex_active
 
         # 3. Sort all vertices by (eliminated, type, global_id) and assign
         # columns to active ones. The reference sorts by (eliminated,
@@ -552,7 +679,7 @@ class Graph:
             torder_cat.append(np.full(n, type_order[name], dtype=np.int64))
             gid_cat.append(np.asarray(vs.global_ids, dtype=np.int64))
             local_cat.append(np.arange(n, dtype=np.int64))
-            active_cat.append(vertex_active[name])
+            active_cat.append(col_active[name])
             dim_cat.append(np.full(n, vs.vtype.dim, dtype=np.int64))
         elim_cat = np.concatenate(elim_cat)
         torder_cat = np.concatenate(torder_cat)
@@ -659,7 +786,10 @@ class Graph:
                 cols_base[:, slot] = vertex_col_offset[vt.name][local[:, slot]]
                 rows_arr[:, slot] = vertex_active_row[vt.name][local[:, slot]]
                 smask[:, slot] = fmask & vertex_active[vt.name][local[:, slot]]
-            slot_mask_h[name] = smask
+            # Structure discovery uses the superset mask in remaskable mode:
+            # every factor's blocks exist; runtime activity only zeroes
+            # contributions (GraphData slot_mask below stays the live mask).
+            slot_mask_h[name] = (np.ones_like(smask) if remaskable else smask)
 
             obs = _pad_rows(fs.obs_array(), n)
             data = _pad_rows(fs.data_array(), n)
@@ -717,6 +847,11 @@ class Graph:
                 name: dict(vs.id_to_local)
                 for name, vs in self.vertex_sets.items()
             },
+            factor_levels=factor_levels,
+            factor_handle_index={
+                name: {int(h): i for i, h in enumerate(fs.handle_array())}
+                for name, fs in factor_sets_active.items()
+            },
         )
 
         problem = Problem(
@@ -739,4 +874,5 @@ class Graph:
             },
         )
         problem.scale_jacobians = self._scale_jacobians
+        problem.remaskable = remaskable
         return problem

@@ -34,22 +34,24 @@ def adam(problem, params=None, options: Optional[AdamOptions] = None):
     lr, b1, b2, eps = (options.learning_rate, options.beta1, options.beta2,
                        options.epsilon)
 
-    def step(carry, t):
-        p, m, v = carry
-        lin = linearize(problem, p)
-        g = -lin.b
-        m = b1 * m + (1 - b1) * g
-        v = b2 * v + (1 - b2) * g * g
-        t1 = (t + 1).astype(gdt)
-        m_hat = m / (1 - b1**t1)
-        v_hat = v / (1 - b2**t1)
-        delta = -lr * m_hat / (jnp.sqrt(v_hat) + eps)
-        new_p = apply_update(problem, p, lin, delta)
-        return (new_p, m, v), lin.chi2
-
     key = ("adam", lr, b1, b2, eps, options.iterations)
     if key not in problem._cache:
         def run(p):
+            # step defined per trace: loop bodies reused across traces would
+            # bake problem.data as jaxpr constants (see lm.py run_all)
+            def step(carry, t):
+                pp, m, v = carry
+                lin = linearize(problem, pp)
+                g = -lin.b
+                m = b1 * m + (1 - b1) * g
+                v = b2 * v + (1 - b2) * g * g
+                t1 = (t + 1).astype(gdt)
+                m_hat = m / (1 - b1**t1)
+                v_hat = v / (1 - b2**t1)
+                delta = -lr * m_hat / (jnp.sqrt(v_hat) + eps)
+                new_p = apply_update(problem, pp, lin, delta)
+                return (new_p, m, v), lin.chi2
+
             zeros = jnp.zeros(problem.dim_x, dtype=gdt)
             (pf, _, _), hist = jax.lax.scan(
                 step, (p, zeros, zeros),
@@ -57,7 +59,7 @@ def adam(problem, params=None, options: Optional[AdamOptions] = None):
             )
             return pf, hist
 
-        problem._cache[key] = jax.jit(run)
+        problem._cache[key] = problem.jit_with_consts(run)
 
     pf, hist = problem._cache[key](params)
     if options.verbose:

@@ -31,22 +31,24 @@ def gradient_descent(problem, params=None,
     params = params if params is not None else problem.params0
     lr = options.learning_rate
 
-    def step(carry, _):
-        p, _ = carry
-        lin = linearize(problem, p)
-        new_p = apply_update(problem, p, lin, lr * lin.b)
-        return (new_p, lin.chi2), lin.chi2
-
     key = ("gd", lr, options.iterations)
     if key not in problem._cache:
         def run(p):
+            # step defined per trace: loop bodies reused across traces would
+            # bake problem.data as jaxpr constants (see lm.py run_all)
+            def step(carry, _):
+                pp, _ = carry
+                lin = linearize(problem, pp)
+                new_p = apply_update(problem, pp, lin, lr * lin.b)
+                return (new_p, lin.chi2), lin.chi2
+
             (pf, chi2), hist = jax.lax.scan(
                 step, (p, jnp.asarray(0.0, problem.precision.graph_dtype)),
                 length=options.iterations,
             )
             return pf, chi2, hist
 
-        problem._cache[key] = jax.jit(run)
+        problem._cache[key] = problem.jit_with_consts(run)
 
     pf, chi2, hist = problem._cache[key](params)
     if options.verbose:

@@ -247,13 +247,21 @@ def levenberg_marquardt(problem, solver, params=None,
            options.jit_loop, options.iterations if options.jit_loop else None)
     if options.jit_loop:
         if key not in problem._cache:
-            step = _lm_iteration(problem, solver, options)
 
             def run_all(p):
                 # initial linearize/prepare fused into the same program as
                 # the while loop: one device program per optimization call
                 # (a separate init program pays a full RPC round-trip on
-                # remote-attached TPUs)
+                # remote-attached TPUs).
+                #
+                # The step closure MUST be created inside run_all: JAX
+                # caches while_loop body jaxprs keyed on the body function
+                # object, so a step reused across the consts-registration
+                # eval_shape pass (which runs with concrete problem.data)
+                # and the real jit trace would bake the GraphData leaves
+                # into the loop body as constants — silently breaking
+                # runtime remasking (Problem.remask).
+                step = _lm_iteration(problem, solver, options)
                 carry0 = _initial_carry_traced(problem, solver, p, options)
 
                 def cond(c):

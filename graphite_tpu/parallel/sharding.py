@@ -16,8 +16,11 @@ Mechanics:
 - ``problem.shard_replica(local_data, axis)`` is used inside ``shard_map``:
   the same single-chip kernels run on the local shard, and every
   cross-factor reduction point calls ``problem.allreduce`` (lax.psum);
-- the Schur triple-product stage runs replicated (its inputs — psum'ed H
-  block values — are identical on every device), so the full LM step,
+- the Schur triple-product stage is SHARDED too (schur.py): each device
+  computes a 1/n slice of every ProductDim group's pair products and
+  partial segment-sums, combined by one psum per destination group —
+  the dominant stage at scale runs at 1/n per-device work. Hll inversion
+  and W = Hpl Hll^{-1} stay replicated (cheap). The full LM step,
   including PCG-Schur, runs inside one ``shard_map``.
 
 The LM while_loop itself runs *inside* shard_map (`sharded_lm`), so a whole
@@ -80,7 +83,7 @@ def sharded_linearize_fn(problem, mesh: Mesh, axis: str = FACTOR_AXIS):
     scales, diag). For tests and as a building block."""
 
     def local(data, params):
-        p = problem.shard_replica(data, axis)
+        p = problem.shard_replica(data, axis, n_devices=mesh.shape[axis])
         lin = linearize(p, params)
         return lin.chi2, lin.b, lin.scales, lin.diag
 
@@ -102,7 +105,7 @@ def sharded_lm_step_fn(problem, mesh: Mesh, solver, damping: float,
     """
 
     def local(data, params):
-        p = problem.shard_replica(data, axis)
+        p = problem.shard_replica(data, axis, n_devices=mesh.shape[axis])
         lin = linearize(p, params)
         sstate = solver.prepare(p, lin, params)
         delta, ok = solver.solve(p, lin, sstate, damping, use_identity, params)
@@ -133,7 +136,7 @@ def sharded_lm(problem, mesh: Mesh, solver, options, params=None,
     data = shard_data(problem, mesh, axis)
 
     def local(data, params):
-        p = problem.shard_replica(data, axis)
+        p = problem.shard_replica(data, axis, n_devices=mesh.shape[axis])
         step = _lm_iteration(p, solver, options)
         carry = _initial_carry_traced(p, solver, params, options)
 

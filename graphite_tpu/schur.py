@@ -50,10 +50,11 @@ from .ops.blockfmt import (
 )
 from .ops.chunked import scan_accumulate, scan_map
 
-# Above this row count, block-batch einsums run in lax.scan chunks so their
-# tile-padded 3-D transients stay bounded (a fused (K,9,9) f32 product
-# materializes at ~8KB/row on TPU).
-CHUNK_THRESHOLD = 1 << 19
+# Above this row count, block-batch products run in lax.scan chunks to bound
+# transients. The flat 2-D VPU products (ops/blockfmt.py) have no tile-padded
+# 3-D intermediates, so the bound is just the (K, r*c) product itself
+# (~332 B/row for 9x9 f32) — 2^22 rows ~ 1.4 GB transient.
+CHUNK_THRESHOLD = 1 << 22
 CHUNK = 1 << 16
 
 
@@ -389,6 +390,51 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
             hpl_w[key] = w_body((hpl_flat, mid_flat))
         else:
             hpl_w[key] = scan_map(w_body, (hpl_flat, mid_flat), K, CHUNK)
+
+    # Inside a factor-sharded shard_map with a known mesh size, the triple
+    # products — the dominant stage at scale (schur.hpp:484-585: the work
+    # lists are already grouped; we shard the groups) — are partitioned
+    # across devices: each device computes a 1/n slice of every group's
+    # pair products and partial segment-sums; ONE psum per destination
+    # group combines them. Everything upstream (psum'd H values, Hll^{-1},
+    # W) is replicated and cheap by comparison.
+    nsh = problem.psum_size if problem.psum_axis is not None else None
+    if nsh is not None and nsh > 1:
+        prod_acc: Dict[Tuple[int, int], jax.Array] = {}
+        for gi, pg in enumerate(ss.products):
+            dpa, dl, dpb = pg["dims"]
+            key = pg["dst_key"]
+            ns = ss.s_sizes[key]
+            K = pg["dst"].shape[0]
+            Kl = -(-K // nsh)  # rows per device
+            pad = Kl * nsh - K
+
+            def padded(name, arr, fill):
+                return problem.const(
+                    ("prod_pad", name, gi, nsh),
+                    np.concatenate([arr, np.full(pad, fill, arr.dtype)])
+                    if pad else arr,
+                )
+
+            left_p = padded("l", pg["left"], 0)
+            right_p = padded("r", pg["right"], 0)
+            dst_p = padded("d", pg["dst"], ns)  # padding -> trash segment
+            i0 = jax.lax.axis_index(problem.psum_axis) * Kl
+            li = jax.lax.dynamic_slice_in_dim(left_p, i0, Kl, 0)
+            ri = jax.lax.dynamic_slice_in_dim(right_p, i0, Kl, 0)
+            di = jax.lax.dynamic_slice_in_dim(dst_p, i0, Kl, 0)
+            Wsrc = hpl_w[pg["left_key"]]
+            Rsrc = hvals[pg["right_key"]]
+            prod_flat = flat_block_mm_nt(
+                Wsrc[li], Rsrc[ri].astype(inv_dt), dpa, dl, dpb,
+                acc_dtype=inv_dt,
+            )
+            part = jax.ops.segment_sum(prod_flat, di, num_segments=ns + 1)
+            prev = prod_acc.get(key)
+            prod_acc[key] = part if prev is None else prev + part
+        for key, acc in prod_acc.items():
+            s_vals[key] = s_vals[key] - problem.allreduce(acc)[:ss.s_sizes[key]]
+        return SchurValues(hll_inv=hll_inv, s_vals=s_vals)
 
     for gi, pg in enumerate(ss.products):
         dpa, dl, dpb = pg["dims"]

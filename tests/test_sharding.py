@@ -111,3 +111,67 @@ def test_sharded_full_lm_matches(mesh):
     np.testing.assert_allclose(float(chi2), res_ref.chi2, rtol=1e-9)
     assert int(iters) == res_ref.iterations
     assert int(accepted) == res_ref.accepted_steps
+
+
+def test_sharded_schur_values_match_single_device(mesh):
+    """The sharded triple-product stage (1/n of every product group per
+    device + one psum per destination group) reproduces single-device S
+    block values."""
+    from jax.sharding import PartitionSpec as P
+
+    from graphite_tpu.hessian import (
+        apply_damping,
+        build_hessian_structure,
+        compute_hessian_values,
+    )
+    from graphite_tpu.parallel.sharding import data_specs, shard_map
+    from graphite_tpu.schur import build_schur_structure, schur_values
+
+    problem = _problem(pad=N_DEV)
+    hs = build_hessian_structure(problem)
+    ss = build_schur_structure(problem)
+    lin = linearize(problem, problem.params0)
+    hv = apply_damping(problem, hs, compute_hessian_values(problem, hs, lin),
+                       lin.diag, 1e-3, False)
+    sv_ref = schur_values(problem, ss, hv)
+
+    pspec = jax.tree.map(lambda _: P(), problem.params0)
+
+    def local(data, params):
+        p = problem.shard_replica(data, "factors", n_devices=N_DEV)
+        lin_l = linearize(p, params)
+        hv_l = apply_damping(
+            p, hs, compute_hessian_values(p, hs, lin_l), lin_l.diag,
+            1e-3, False)
+        sv_l = schur_values(p, ss, hv_l)
+        return sv_l.s_vals
+
+    f = jax.jit(shard_map(
+        local, mesh,
+        in_specs=(data_specs(problem), pspec),
+        out_specs=jax.tree.map(lambda _: P(), sv_ref.s_vals),
+    ))
+    s_vals = f(shard_data(problem, mesh), problem.params0)
+    for k in sv_ref.s_vals:
+        np.testing.assert_allclose(
+            np.asarray(s_vals[k]), np.asarray(sv_ref.s_vals[k]),
+            rtol=1e-12, atol=1e-13,
+        )
+
+
+def test_sharded_lm_multi_iteration_nonmini(mesh):
+    """Sharded LM on a non-mini problem for >= 3 iterations (PCG-Schur),
+    agreeing with the single-device trajectory."""
+    ds = synthetic.make_bal((8, 60, 300), seed=3, noise=0.5)
+    g, *_ = bal_io.build_graph(ds, precision=gt.FP64_FP64)
+    problem = g.freeze(pad_factors_to=N_DEV)
+    solver = PCGSchurSolver(max_iter=20, tol=1e-10, rejection_ratio=1e6)
+    options = LevenbergMarquardtOptions(iterations=5, initial_damping=1e-4)
+
+    res_ref = levenberg_marquardt(
+        problem, solver, options=LevenbergMarquardtOptions(
+            iterations=5, initial_damping=1e-4, jit_loop=True))
+    params, chi2, iters, accepted = sharded_lm(problem, mesh, solver, options)
+    assert int(iters) >= 3
+    assert int(iters) == res_ref.iterations
+    np.testing.assert_allclose(float(chi2), res_ref.chi2, rtol=1e-8)
