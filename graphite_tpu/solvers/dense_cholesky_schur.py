@@ -102,8 +102,17 @@ class DenseCholeskySchurSolver:
         b_s = ops.b_schur(lin.b)
 
         S = schur_to_dense(problem, ss, sv)
-        L, low = jax.scipy.linalg.cho_factor(S, lower=True)
-        dx_p = jax.scipy.linalg.cho_solve((L, low), b_s.astype(S.dtype))
+        if ss.dim_p >= 1024:
+            # recursive blocked factorization: keeps all panel work as
+            # large MXU matmuls (see ops/blocked_cholesky.py)
+            from ..ops.blocked_cholesky import (
+                blocked_cho_solve, blocked_cholesky)
+
+            L = blocked_cholesky(S)
+            dx_p = blocked_cho_solve(L, b_s.astype(S.dtype))
+        else:
+            L, low = jax.scipy.linalg.cho_factor(S, lower=True)
+            dx_p = jax.scipy.linalg.cho_solve((L, low), b_s.astype(S.dtype))
         ok = jnp.all(jnp.isfinite(dx_p))
         dx_p = jnp.where(ok, dx_p, 0.0).astype(gdt)
         dx_l_rows = ops.landmark_update(lin.b, dx_p)

@@ -1,9 +1,15 @@
-"""Host sparse direct solve of the Schur (pose) system + landmark backsub.
+"""Direct solve of the Schur (pose) system + landmark backsub.
 
 TPU-native analog of ``cudssSchurSolver``/``EigenSchurLDLTSolver``
-(reference: cudss_schur.hpp:13-235, eigen_schur.hpp:14-109): the dense work
-(Hll inversion, triple products) runs on TPU; only the reduced pose-system
-factorization goes to the host CPU via ``pure_callback``.
+(reference: cudss_schur.hpp:13-235, eigen_schur.hpp:14-109). Two paths:
+
+- ``dim_p <= on_device_dim_p`` (default 20k, i.e. every published BAL
+  problem): the reduced pose system is factorized **on device** with the
+  recursive blocked Cholesky (ops/blocked_cholesky.py) — the analog of
+  cuDSS factorizing on-GPU (cudss_schur.hpp:190-233), with zero host
+  round-trips per LM iteration.
+- larger systems: host SciPy sparse factorization via ``pure_callback``
+  (the Eigen-solver CPU-copy-per-iteration pattern, eigen.hpp:41-44).
 """
 
 from __future__ import annotations
@@ -80,6 +86,10 @@ def _schur_csc(problem, ss):
 
 @dataclasses.dataclass(frozen=True)
 class SparseDirectSchurSolver:
+    # Pose systems at or below this size are factorized on device as a
+    # dense blocked Cholesky (no host callback); 0 forces the host path.
+    on_device_dim_p: int = 20_000
+
     def prepare(self, problem, lin: Linearization, params=None):
         hs = build_hessian_structure(problem)
         build_schur_structure(problem)
@@ -90,7 +100,6 @@ class SparseDirectSchurSolver:
         gdt = problem.precision.graph_dtype
         hs = build_hessian_structure(problem)
         ss = build_schur_structure(problem)
-        csc = _schur_csc(problem, ss)
 
         hv = apply_damping(problem, hs, state.hvals, lin.diag, damping,
                            use_identity)
@@ -98,6 +107,18 @@ class SparseDirectSchurSolver:
         ops = SchurOps(problem, ss, hv, sv)
         b_s = ops.b_schur(lin.b).astype(gdt)
 
+        if ss.dim_p <= self.on_device_dim_p:
+            from ..ops.blocked_cholesky import cholesky_solve
+            from .dense_cholesky_schur import schur_to_dense
+
+            S = schur_to_dense(problem, ss, sv)
+            dx_p = cholesky_solve(S, b_s.astype(S.dtype))
+            ok = jnp.all(jnp.isfinite(dx_p))
+            dx_p = jnp.where(ok, dx_p, 0.0).astype(gdt)
+            dx_l_rows = ops.landmark_update(lin.b, dx_p)
+            return ops.compose_delta(dx_p, dx_l_rows), ok
+
+        csc = _schur_csc(problem, ss)
         vals = jnp.zeros(csc["nnz"] + 1, dtype=gdt)
         for key in ss.s_keys:
             v = sv.s_vals[key].astype(gdt)  # already flat (n, dr*dc)
