@@ -41,6 +41,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import hostops
 from .graph import with_matmul_precision
 from .linearize import DIAG_MIN, DIAG_MAX, Linearization, _apply_precision
 from .ops.blockfmt import flatten_blocks, unflatten_blocks
@@ -132,7 +133,7 @@ def build_hessian_structure(problem) -> HessianStructure:
                 all_codes.append(hi * n_cols + lo)
                 pair_sources.append((fname, s, t, bs, bt))
 
-    codes = (np.unique(np.concatenate(all_codes)) if all_codes
+    codes = (hostops.sorted_unique(np.concatenate(all_codes)) if all_codes
              else np.zeros(0, dtype=np.int64))
     block_rows = codes % n_cols
     block_cols = codes // n_cols
@@ -142,7 +143,7 @@ def build_hessian_structure(problem) -> HessianStructure:
     dr_all = block_dims[block_rows] if nb else np.zeros(0, dtype=np.int64)
     dc_all = block_dims[block_cols] if nb else np.zeros(0, dtype=np.int64)
     dim_codes = dr_all * 100000 + dc_all
-    uniq_dims, group_of_block = np.unique(dim_codes, return_inverse=True)
+    uniq_dims, group_of_block = hostops.unique_inverse(dim_codes)
     group_keys = [(int(d // 100000), int(d % 100000)) for d in uniq_dims]
     counts = np.bincount(group_of_block, minlength=len(group_keys)).astype(
         np.int64
@@ -158,7 +159,7 @@ def build_hessian_structure(problem) -> HessianStructure:
 
     def _lookup_in_group(code_arr):
         """(codes,) -> (index_in_group, found mask) via binary search."""
-        pos = np.searchsorted(codes, code_arr)
+        pos = hostops.searchsorted(codes, code_arr)
         pos_c = np.clip(pos, 0, max(nb - 1, 0))
         found = (nb > 0) & (codes[pos_c] == code_arr)
         return index_in_group[pos_c], found

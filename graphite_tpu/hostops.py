@@ -1,0 +1,96 @@
+"""Host structure-discovery primitives: native C++ with NumPy fallback.
+
+Freeze-time sort/unique/searchsorted/pair-enumeration used by
+`build_hessian_structure` and `build_schur_structure` (the analogs of the
+reference's setup passes, hessian.hpp:48-85 / schur.hpp:397-476). The
+native path (graphite_tpu/native/structure.cpp) is ~5-15x faster on the
+Venice-Final-scale arrays (17M Schur pairs); `GRAPHITE_TPU_NO_NATIVE=1`
+forces the NumPy fallback. Both paths produce bitwise-identical outputs
+(tests/test_native_structure.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_NS = None
+_NS_CHECKED = False
+
+
+def _native():
+    global _NS, _NS_CHECKED
+    if not _NS_CHECKED:
+        _NS_CHECKED = True
+        try:
+            from .native import structure as ns
+
+            _NS = ns if ns.available() else None
+        except Exception:
+            _NS = None
+    return _NS
+
+
+def sorted_unique(codes: np.ndarray) -> np.ndarray:
+    """np.unique for non-negative int64 codes."""
+    ns = _native()
+    if ns is not None and codes.size:
+        return ns.sort_unique(codes)
+    return np.unique(np.asarray(codes, dtype=np.int64))
+
+
+def searchsorted(sorted_arr: np.ndarray, queries: np.ndarray) -> np.ndarray:
+    """np.searchsorted(sorted_arr, queries, side='left')."""
+    ns = _native()
+    if ns is not None and np.asarray(queries).size:
+        return ns.searchsorted(sorted_arr, queries)
+    return np.searchsorted(np.asarray(sorted_arr, dtype=np.int64),
+                           np.asarray(queries, dtype=np.int64))
+
+
+def unique_inverse(codes: np.ndarray):
+    """(unique sorted values, inverse indices) — np.unique(return_inverse)."""
+    uniq = sorted_unique(codes)
+    if codes.size == 0:
+        return uniq, np.zeros(0, dtype=np.int64)
+    return uniq, searchsorted(uniq, codes)
+
+
+def attach_pairs(att_lm: np.ndarray, att_pose: np.ndarray, n_lm: int,
+                 n_pose: int):
+    """Sort the Hpl attach list by (lm, pose) and enumerate all unordered
+    pose pairs (a <= b) per landmark — the Schur fill-in discovery
+    (schur.hpp:397-476).
+
+    Returns (att_order, counts, seg_off, ai, bi, pair_lm, pair_codes):
+    `att_order` sorts the inputs; `ai`/`bi` index the *sorted* attach
+    list; `pair_codes = pose_b * n_pose + pose_a`.
+    """
+    att_lm = np.asarray(att_lm, dtype=np.int64)
+    att_pose = np.asarray(att_pose, dtype=np.int64)
+    ns = _native()
+    if ns is not None and att_lm.size:
+        att_order, counts, total = ns.attach_sort(att_lm, att_pose, n_lm)
+        seg_off = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        ai, bi, pair_lm, pair_codes = ns.pair_fill(
+            counts, att_pose[att_order], n_pose, total)
+        return att_order, counts, seg_off, ai, bi, pair_lm, pair_codes
+
+    att_order = np.lexsort((att_pose, att_lm))
+    att_lm_s = att_lm[att_order]
+    att_pose_s = att_pose[att_order]
+    counts = np.bincount(att_lm_s, minlength=n_lm)
+    seg_off = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    npairs = counts * (counts + 1) // 2
+    total_pairs = int(npairs.sum())
+    pair_lm = np.repeat(np.arange(n_lm), npairs)
+    pair_off = np.concatenate([[0], np.cumsum(npairs)[:-1]])
+    p_local = np.arange(total_pairs) - np.repeat(pair_off, npairs)
+    jj = ((np.sqrt(8.0 * p_local + 1.0) - 1.0) // 2).astype(np.int64)
+    # guard float roundoff at triangular boundaries
+    jj = np.where(jj * (jj + 1) // 2 > p_local, jj - 1, jj)
+    jj = np.where((jj + 1) * (jj + 2) // 2 <= p_local, jj + 1, jj)
+    ii = p_local - jj * (jj + 1) // 2
+    ai = seg_off[pair_lm] + ii
+    bi = seg_off[pair_lm] + jj
+    pair_codes = att_pose_s[bi] * n_pose + att_pose_s[ai]
+    return att_order, counts, seg_off, ai, bi, pair_lm, pair_codes

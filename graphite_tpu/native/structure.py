@@ -1,0 +1,109 @@
+"""ctypes wrapper for the C++ structure-discovery kernels (structure.cpp).
+
+Freeze-time only — these replace the NumPy hot loops in
+`build_hessian_structure` / `build_schur_structure` (the analogs of the
+reference's setup passes hessian.hpp:48-85 and schur.hpp:397-476).
+`GRAPHITE_TPU_NO_NATIVE=1` disables the native path; every caller has a
+NumPy fallback and a parity test (tests/test_native_structure.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+from . import NativeUnavailable, load_library
+
+_I64P = ctypes.POINTER(ctypes.c_int64)
+
+
+def available() -> bool:
+    if os.environ.get("GRAPHITE_TPU_NO_NATIVE"):
+        return False
+    try:
+        _lib()
+        return True
+    except NativeUnavailable:
+        return False
+
+
+def _lib():
+    lib = load_library("structure")
+    if not getattr(lib, "_gx_typed", False):
+        lib.gx_sort_unique.argtypes = [_I64P, ctypes.c_int64, _I64P]
+        lib.gx_sort_unique.restype = ctypes.c_int64
+        lib.gx_searchsorted.argtypes = [
+            _I64P, ctypes.c_int64, _I64P, ctypes.c_int64, _I64P]
+        lib.gx_searchsorted.restype = None
+        lib.gx_attach_sort.argtypes = [
+            _I64P, _I64P, ctypes.c_int64, ctypes.c_int64, _I64P, _I64P]
+        lib.gx_attach_sort.restype = ctypes.c_int64
+        lib.gx_pair_fill.argtypes = [
+            _I64P, ctypes.c_int64, _I64P, ctypes.c_int64,
+            _I64P, _I64P, _I64P, _I64P]
+        lib.gx_pair_fill.restype = None
+        lib._gx_typed = True
+    return lib
+
+
+def _as_i64(a) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=np.int64)
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(_I64P)
+
+
+def sort_unique(codes) -> np.ndarray:
+    """np.unique for non-negative int64 codes (radix sort + dedup)."""
+    codes = _as_i64(codes)
+    n = codes.shape[0]
+    if n == 0:
+        return codes
+    out = np.empty(n, dtype=np.int64)
+    ns = _lib().gx_sort_unique(_ptr(codes), n, _ptr(out))
+    return out[:ns].copy()
+
+
+def searchsorted(sorted_arr, queries) -> np.ndarray:
+    """np.searchsorted(sorted_arr, queries, side='left')."""
+    sorted_arr = _as_i64(sorted_arr)
+    queries = _as_i64(queries)
+    pos = np.empty(queries.shape[0], dtype=np.int64)
+    _lib().gx_searchsorted(_ptr(sorted_arr), sorted_arr.shape[0],
+                           _ptr(queries), queries.shape[0], _ptr(pos))
+    return pos
+
+
+def attach_sort(att_lm, att_pose, n_lm: int):
+    """np.lexsort((att_pose, att_lm)) + per-landmark counts + pair total.
+
+    Returns (order, counts, total_pairs).
+    """
+    att_lm = _as_i64(att_lm)
+    att_pose = _as_i64(att_pose)
+    K = att_lm.shape[0]
+    order = np.empty(K, dtype=np.int64)
+    counts = np.empty(n_lm, dtype=np.int64)
+    total = _lib().gx_attach_sort(_ptr(att_lm), _ptr(att_pose), K, n_lm,
+                                  _ptr(order), _ptr(counts))
+    return order, counts, int(total)
+
+
+def pair_fill(counts, att_pose_s, n_pose: int, total_pairs: int):
+    """All unordered pose pairs (a<=b) per landmark, NumPy-decode order.
+
+    Returns (ai, bi, pair_lm, pair_codes), each (total_pairs,).
+    """
+    counts = _as_i64(counts)
+    att_pose_s = _as_i64(att_pose_s)
+    ai = np.empty(total_pairs, dtype=np.int64)
+    bi = np.empty(total_pairs, dtype=np.int64)
+    pair_lm = np.empty(total_pairs, dtype=np.int64)
+    pair_codes = np.empty(total_pairs, dtype=np.int64)
+    _lib().gx_pair_fill(_ptr(counts), counts.shape[0], _ptr(att_pose_s),
+                        n_pose, _ptr(ai), _ptr(bi), _ptr(pair_lm),
+                        _ptr(pair_codes))
+    return ai, bi, pair_lm, pair_codes

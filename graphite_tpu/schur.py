@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import hostops
 from .graph import with_matmul_precision
 from .hessian import HessianValues, build_hessian_structure
 from .ops.batched_linalg import spd_inverse
@@ -161,7 +162,7 @@ def build_schur_structure(problem) -> SchurStructure:
     hpl_lm: Dict[Tuple[int, int], np.ndarray] = {}
     key_id_of = np.zeros(hpl_sel.shape[0], dtype=np.int64)
     idx_in_key = np.zeros(hpl_sel.shape[0], dtype=np.int64)
-    for code in np.unique(hpl_code):
+    for code in hostops.sorted_unique(hpl_code):
         key = (int(code // 100000), int(code % 100000))
         m = hpl_code == code
         sel = hpl_sel[m]
@@ -173,43 +174,28 @@ def build_schur_structure(problem) -> SchurStructure:
         key_id_of[m] = ki
         idx_in_key[m] = np.arange(sel.shape[0])
 
-    # --- per-landmark attach lists, sorted by (lm, pose) (vectorized) ---
+    # --- per-landmark attach lists + pose-pair fill-in discovery
+    # (schur.hpp:397-476; native C++ with NumPy fallback) ---
     att_lm = cols_h[hpl_sel] - eb
     att_pose = rows_h[hpl_sel]
-    att_order = np.lexsort((att_pose, att_lm))
-    att_lm_s = att_lm[att_order]
+    att_order, counts, seg_off, ai, bi, pair_lm, pair_codes = (
+        hostops.attach_pairs(att_lm, att_pose, n_lm, n_pose))
     att_pose_s = att_pose[att_order]
     att_key_s = key_id_of[att_order]
     att_idx_s = idx_in_key[att_order]
-    counts = np.bincount(att_lm_s, minlength=n_lm)
-    seg_off = np.concatenate([[0], np.cumsum(counts)[:-1]])
-
-    # all pose pairs (a <= b) per landmark via triangular decoding
-    npairs = counts * (counts + 1) // 2
-    total_pairs = int(npairs.sum())
-    pair_lm = np.repeat(np.arange(n_lm), npairs)
-    pair_off = np.concatenate([[0], np.cumsum(npairs)[:-1]])
-    p_local = np.arange(total_pairs) - np.repeat(pair_off, npairs)
-    jj = ((np.sqrt(8.0 * p_local + 1.0) - 1.0) // 2).astype(np.int64)
-    # guard float roundoff at triangular boundaries
-    jj = np.where(jj * (jj + 1) // 2 > p_local, jj - 1, jj)
-    jj = np.where((jj + 1) * (jj + 2) // 2 <= p_local, jj + 1, jj)
-    ii = p_local - jj * (jj + 1) // 2
-    ai = seg_off[pair_lm] + ii
-    bi = seg_off[pair_lm] + jj
     pose_a = att_pose_s[ai]
     pose_b = att_pose_s[bi]
 
     # --- S sparsity: union of Hpp coords and fill-in pairs ---
     hpp_sel = np.nonzero(is_hpp)[0]
     hpp_codes = cols_h[hpp_sel] * n_pose + rows_h[hpp_sel]
-    pair_codes = pose_b * n_pose + pose_a
-    s_codes = np.unique(np.concatenate([hpp_codes, pair_codes]))
+    s_codes = hostops.sorted_unique(
+        np.concatenate([hpp_codes, pair_codes]))
     s_rows_all = (s_codes % n_pose).astype(np.int64)
     s_cols_all = (s_codes // n_pose).astype(np.int64)
     ns_total = s_codes.shape[0]
     s_dim_code = dims[s_rows_all] * 100000 + dims[s_cols_all]
-    uniq_sdims, s_group_of = np.unique(s_dim_code, return_inverse=True)
+    uniq_sdims, s_group_of = hostops.unique_inverse(s_dim_code)
     s_keys = [(int(c // 100000), int(c % 100000)) for c in uniq_sdims]
     s_index_in_group = _cumcount(s_group_of, len(s_keys))
     s_sizes = {
@@ -223,7 +209,7 @@ def build_schur_structure(problem) -> SchurStructure:
               for gi, key in enumerate(s_keys)}
 
     def s_lookup(codes):
-        pos = np.searchsorted(s_codes, codes)
+        pos = hostops.searchsorted(s_codes, codes)
         return s_index_in_group[pos], s_group_of[pos]
 
     # --- Hpp copy ops grouped by H group (vectorized) ---
@@ -245,7 +231,7 @@ def build_schur_structure(problem) -> SchurStructure:
     tri_code = (dpa_all * 100000 + dl_all) * 100000 + dpb_all
     dst_idx_all, dst_group_all = s_lookup(pair_codes)
     products = []
-    for code in np.unique(tri_code):
+    for code in hostops.sorted_unique(tri_code):
         m = tri_code == code
         dpa = int(code // (100000 * 100000))
         dl = int((code // 100000) % 100000)

@@ -1,0 +1,102 @@
+"""Native C++ structure-discovery kernels vs NumPy fallback (VERDICT r1
+item 6). Both paths must be bitwise identical — the native path is a pure
+freeze-time accelerator (reference setup passes: hessian.hpp:48-85,
+schur.hpp:397-476)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import graphite_tpu as gt
+from graphite_tpu import hostops
+from graphite_tpu.hessian import build_hessian_structure
+from graphite_tpu.io import bal as bal_io
+from graphite_tpu.io import synthetic
+from graphite_tpu.schur import build_schur_structure
+
+try:
+    from graphite_tpu.native import structure as native_structure
+
+    HAVE_NATIVE = native_structure.available()
+except Exception:  # pragma: no cover - no compiler in env
+    HAVE_NATIVE = False
+
+needs_native = pytest.mark.skipif(not HAVE_NATIVE,
+                                  reason="native structure lib unavailable")
+
+
+@needs_native
+def test_primitives_match_numpy():
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 1 << 40, size=200_000)
+    np.testing.assert_array_equal(native_structure.sort_unique(codes),
+                                  np.unique(codes))
+    uniq = np.unique(codes)
+    q = rng.integers(0, 1 << 40, size=50_000)
+    np.testing.assert_array_equal(native_structure.searchsorted(uniq, q),
+                                  np.searchsorted(uniq, q))
+    # empty and single-element edges
+    np.testing.assert_array_equal(
+        native_structure.sort_unique(np.asarray([7], dtype=np.int64)), [7])
+
+
+@needs_native
+def test_attach_pairs_matches_numpy_fallback():
+    rng = np.random.default_rng(1)
+    K, n_lm, n_pose = 30_000, 5_000, 40
+    att_lm = rng.integers(0, n_lm, size=K)
+    att_pose = rng.integers(0, n_pose, size=K)
+    res_native = hostops.attach_pairs(att_lm, att_pose, n_lm, n_pose)
+
+    saved = (hostops._NS, hostops._NS_CHECKED)
+    hostops._NS, hostops._NS_CHECKED = None, True
+    try:
+        res_numpy = hostops.attach_pairs(att_lm, att_pose, n_lm, n_pose)
+    finally:
+        hostops._NS, hostops._NS_CHECKED = saved
+    for a, b in zip(res_native, res_numpy):
+        np.testing.assert_array_equal(a, b)
+
+
+def _structures():
+    ds = synthetic.make_bal("mini", seed=3, noise=0.5)
+    g, *_ = bal_io.build_graph(ds, precision=gt.FP64_FP64)
+    problem = g.freeze()
+    return build_hessian_structure(problem), build_schur_structure(problem)
+
+
+def _assert_equal_tree(a, b, path=""):
+    if isinstance(a, np.ndarray):
+        np.testing.assert_array_equal(a, b, err_msg=path)
+    elif isinstance(a, dict):
+        assert set(a) == set(b), path
+        for k in a:
+            _assert_equal_tree(a[k], b[k], f"{path}.{k}")
+    elif isinstance(a, (list, tuple)):
+        assert len(a) == len(b), path
+        for i, (x, y) in enumerate(zip(a, b)):
+            _assert_equal_tree(x, y, f"{path}[{i}]")
+    elif dataclasses.is_dataclass(a) and not isinstance(a, type):
+        for f in dataclasses.fields(a):
+            _assert_equal_tree(getattr(a, f.name), getattr(b, f.name),
+                               f"{path}.{f.name}")
+    else:
+        assert a == b, (path, a, b)
+
+
+@needs_native
+def test_full_structures_bitwise_identical():
+    hs_n, ss_n = _structures()
+    saved = (hostops._NS, hostops._NS_CHECKED)
+    hostops._NS, hostops._NS_CHECKED = None, True
+    try:
+        hs_f, ss_f = _structures()
+    finally:
+        hostops._NS, hostops._NS_CHECKED = saved
+    _assert_equal_tree(ss_n, ss_f, "schur")
+    for f in dataclasses.fields(hs_n):
+        a, b = getattr(hs_n, f.name), getattr(hs_f, f.name)
+        if callable(a):
+            continue
+        _assert_equal_tree(a, b, f"hessian.{f.name}")
