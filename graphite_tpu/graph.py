@@ -539,6 +539,8 @@ class Graph:
         precision = precision or self.precision
         gdt = precision.graph_dtype
         sdt = precision.solver_dtype
+        from .perf import SectionTimer
+        _tm = SectionTimer("freeze")
 
         # 0. Optional padding of every factor block to a multiple of
         # ``pad_factors_to`` (disabled padding factors, MSB level byte) so a
@@ -568,6 +570,7 @@ class Graph:
             if name not in skipped_factor_sets
         }
 
+        _tm.lap("pad")
         # 1. Active factors per set + local id resolution.
         factor_ids_local: Dict[str, np.ndarray] = {}
         factor_mask: Dict[str, np.ndarray] = {}
@@ -608,6 +611,7 @@ class Graph:
             factor_ids_local[name] = local
             factor_mask[name] = is_factor_active(factor_levels[name], opt_level)
 
+        _tm.lap("active_factors")
         # 2. Vertex active state: !fixed AND referenced by an active factor
         # (graph.hpp:171-210, ops/active.hpp:15-58).
         referenced = {
@@ -633,6 +637,7 @@ class Graph:
         else:
             col_active = vertex_active
 
+        _tm.lap("vertex_active")
         # 3. Sort all vertices by (eliminated, type, global_id) and assign
         # columns to active ones. The reference sorts by (eliminated,
         # global_id) only (graph.hpp:109-149); grouping by TYPE keeps every
@@ -737,6 +742,7 @@ class Graph:
             else dim_h
         )
 
+        _tm.lap("assign_columns")
         # 4. Trash pad: inactive vertices scatter past dim_h (flat view) /
         # to the trash row seg_rows[name] (row view).
         pad = max([vs.vtype.dim for vs in self.vertex_sets.values()] + [1])
@@ -746,6 +752,7 @@ class Graph:
             ar = vertex_active_row[name]
             ar[ar < 0] = seg_rows[name]  # trash row
 
+        _tm.lap("trash_pad")
         # 5. Build device arrays.
         vdata: Dict[str, VertexArrays] = {}
         params0: Dict[str, jax.Array] = {}
@@ -875,4 +882,6 @@ class Graph:
         )
         problem.scale_jacobians = self._scale_jacobians
         problem.remaskable = remaskable
+        _tm.lap("device_arrays")
+        _tm.done()
         return problem

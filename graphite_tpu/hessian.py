@@ -112,6 +112,8 @@ def build_hessian_structure(problem) -> HessianStructure:
     if "hessian_structure" in problem._cache:
         return problem._cache["hessian_structure"]
 
+    from .perf import SectionTimer
+    _tm = SectionTimer("hessian_structure")
     block_dims = problem.block_dims
     n_cols = problem.n_blocks
 
@@ -119,7 +121,7 @@ def build_hessian_structure(problem) -> HessianStructure:
     # slot-pairs (hessian.hpp:48-85). Blocks are encoded as c*n_cols+r so a
     # sorted unique is exactly CSC order with the diagonal block last in its
     # column (r <= c means max row in column c is the diagonal).
-    pair_sources = []  # (fname, s, t, bs (F,), bt (F,))
+    pair_sources = []  # (fname, s, t, bs (F,), bt (F,), valid (F,))
     all_codes = []
     for fname, fm in problem.factor_meta.items():
         bids = _block_ids_for(problem, fname)
@@ -131,10 +133,19 @@ def build_hessian_structure(problem) -> HessianStructure:
                 lo = np.minimum(bs, bt)[valid]
                 hi = np.maximum(bs, bt)[valid]
                 all_codes.append(hi * n_cols + lo)
-                pair_sources.append((fname, s, t, bs, bt))
+                pair_sources.append((fname, s, t, bs, bt, valid))
 
-    codes = (hostops.sorted_unique(np.concatenate(all_codes)) if all_codes
-             else np.zeros(0, dtype=np.int64))
+    _tm.lap("collect_codes")
+    # one radix-argsort pass yields both the unique sorted codes AND, via
+    # the inverse, every factor contribution's block position — no
+    # per-pair binary searches (the reference instead walks a host hash
+    # map per factor, hessian.hpp:178-208 / factor.hpp:702-763)
+    if all_codes:
+        codes, code_inverse = hostops.unique_inverse(
+            np.concatenate(all_codes))
+    else:
+        codes = np.zeros(0, dtype=np.int64)
+        code_inverse = np.zeros(0, dtype=np.int64)
     block_rows = codes % n_cols
     block_cols = codes // n_cols
     nb = codes.shape[0]
@@ -150,53 +161,53 @@ def build_hessian_structure(problem) -> HessianStructure:
     )
     group_counts = {key: int(c) for key, c in zip(group_keys, counts)}
     index_in_group = np.empty(nb, dtype=np.int64)
-    perm = np.argsort(group_of_block, kind="stable")
+    perm = hostops.stable_argsort(group_of_block, len(group_keys))
     index_in_group[perm] = (
         np.arange(nb) - np.repeat(np.concatenate([[0], np.cumsum(counts)[:-1]]),
                                   counts)
     )
     group_map = {key: i for i, key in enumerate(group_keys)}
 
-    def _lookup_in_group(code_arr):
-        """(codes,) -> (index_in_group, found mask) via binary search."""
-        pos = hostops.searchsorted(codes, code_arr)
-        pos_c = np.clip(pos, 0, max(nb - 1, 0))
-        found = (nb > 0) & (codes[pos_c] == code_arr)
-        return index_in_group[pos_c], found
-
+    _tm.lap("unique_and_groups")
     # 3. Contribution maps: direct (bs<=bt) and transposed (bs>=bt, plus the
-    # self-block transpose when bs==bt and s<t).
+    # self-block transpose when bs==bt and s<t). Each pair source's segment
+    # of `code_inverse` IS its normalized-code block position (the codes
+    # were collected in this exact order), so orientation masks are the
+    # only per-factor work.
     contribs: List[ContribMap] = []
-    for fname, s, t, bs, bt in pair_sources:
+    seg_start = 0
+    for fname, s, t, bs, bt, valid in pair_sources:
         fm = problem.factor_meta[fname]
         ds = fm.ftype.vertex_types[s].dim
         dt_ = fm.ftype.vertex_types[t].dim
         dkey, tkey = (ds, dt_), (dt_, ds)
         d_trash = group_counts.get(dkey, 0)
         t_trash = group_counts.get(tkey, 0)
-        valid = (bs >= 0) & (bt >= 0)
-        code_d = bt * n_cols + bs  # (r=bs, c=bt)
-        code_t = bs * n_cols + bt  # (r=bt, c=bs)
-        idx_d, found_d = _lookup_in_group(np.where(valid, code_d, 0))
-        idx_t, found_t = _lookup_in_group(np.where(valid, code_t, 0))
-        use_d = valid & (bs <= bt) & found_d
-        use_t = valid & ((bs > bt) | ((bs == bt) & (s < t))) & found_t
-        direct_idx = np.where(use_d, idx_d, d_trash)
-        trans_idx = np.where(use_t, idx_t, t_trash)
-        if not np.any(use_d):
-            direct_idx = None
-        if not np.any(use_t):
-            trans_idx = None
+        vpos = np.nonzero(valid)[0]
+        inv_seg = code_inverse[seg_start:seg_start + vpos.shape[0]]
+        seg_start += vpos.shape[0]
+        idx_norm = index_in_group[inv_seg]  # block index of (lo, hi) code
+        bs_v = bs[vpos]
+        bt_v = bt[vpos]
+        F = bs.shape[0]
+        m_d = bs_v <= bt_v
+        m_t = (bs_v > bt_v) | ((bs_v == bt_v) & (s < t))
+        direct_idx = None
+        trans_idx = None
+        if np.any(m_d):
+            direct_idx = np.full(F, d_trash, dtype=np.int32)
+            direct_idx[vpos[m_d]] = idx_norm[m_d]
+        if np.any(m_t):
+            trans_idx = np.full(F, t_trash, dtype=np.int32)
+            trans_idx[vpos[m_t]] = idx_norm[m_t]
         contribs.append(
-            ContribMap(fname, s, t, dkey,
-                       None if direct_idx is None else direct_idx.astype(np.int32),
-                       tkey,
-                       None if trans_idx is None else trans_idx.astype(np.int32))
+            ContribMap(fname, s, t, dkey, direct_idx, tkey, trans_idx)
         )
 
     # Unique-destination detection: if exactly ONE contribution map targets a
     # group and every non-trash target is hit at most once, replace the
     # scatter-add with an inverse-permutation gather.
+    _tm.lap("contrib_maps")
     by_group = {}
     for cm in contribs:
         if cm.direct_idx is not None:
@@ -219,6 +230,7 @@ def build_hessian_structure(problem) -> HessianStructure:
         inv[ng] = F
         cm.direct_gather = inv
 
+    _tm.lap("unique_dst_gather")
     # 4. Diagonal-block lookup per block column.
     cols_j = np.arange(n_cols)
     diag_codes = cols_j * n_cols + cols_j
@@ -240,6 +252,8 @@ def build_hessian_structure(problem) -> HessianStructure:
         diag_group=diag_group,
         diag_idx=diag_idx,
     )
+    _tm.lap("diag_lookup")
+    _tm.done()
     problem._cache["hessian_structure"] = hs
     return hs
 

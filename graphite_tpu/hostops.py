@@ -47,12 +47,29 @@ def searchsorted(sorted_arr: np.ndarray, queries: np.ndarray) -> np.ndarray:
                            np.asarray(queries, dtype=np.int64))
 
 
-def unique_inverse(codes: np.ndarray):
-    """(unique sorted values, inverse indices) — np.unique(return_inverse)."""
+def unique_inverse(codes: np.ndarray, bound: int = 0):
+    """(unique sorted values, inverse indices) — np.unique(return_inverse).
+
+    `bound` (optional): exclusive upper bound on the codes; small bounds
+    (<= 2^26) switch to a flag-array rank that beats any sort.
+    """
+    ns = _native()
+    if ns is not None and np.asarray(codes).size:
+        if 0 < bound <= (1 << 26):
+            return ns.unique_inverse_bounded(codes, bound)
+        return ns.sort_unique_inverse(codes)
     uniq = sorted_unique(codes)
     if codes.size == 0:
         return uniq, np.zeros(0, dtype=np.int64)
     return uniq, searchsorted(uniq, codes)
+
+
+def stable_argsort(keys: np.ndarray, n_buckets: int) -> np.ndarray:
+    """np.argsort(keys, kind='stable') for small non-negative keys."""
+    ns = _native()
+    if ns is not None and np.asarray(keys).size:
+        return ns.counting_sort_perm(keys, n_buckets)
+    return np.argsort(np.asarray(keys), kind="stable")
 
 
 def attach_pairs(att_lm: np.ndarray, att_pose: np.ndarray, n_lm: int,
@@ -61,9 +78,9 @@ def attach_pairs(att_lm: np.ndarray, att_pose: np.ndarray, n_lm: int,
     pose pairs (a <= b) per landmark — the Schur fill-in discovery
     (schur.hpp:397-476).
 
-    Returns (att_order, counts, seg_off, ai, bi, pair_lm, pair_codes):
-    `att_order` sorts the inputs; `ai`/`bi` index the *sorted* attach
-    list; `pair_codes = pose_b * n_pose + pose_a`.
+    Returns (att_order, counts, seg_off, ai, bi, pair_lm, pair_codes,
+    pose_a, pose_b): `att_order` sorts the inputs; `ai`/`bi` index the
+    *sorted* attach list; `pair_codes = pose_b * n_pose + pose_a`.
     """
     att_lm = np.asarray(att_lm, dtype=np.int64)
     att_pose = np.asarray(att_pose, dtype=np.int64)
@@ -71,9 +88,10 @@ def attach_pairs(att_lm: np.ndarray, att_pose: np.ndarray, n_lm: int,
     if ns is not None and att_lm.size:
         att_order, counts, total = ns.attach_sort(att_lm, att_pose, n_lm)
         seg_off = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        ai, bi, pair_lm, pair_codes = ns.pair_fill(
+        ai, bi, pair_lm, pair_codes, pose_a, pose_b = ns.pair_fill2(
             counts, att_pose[att_order], n_pose, total)
-        return att_order, counts, seg_off, ai, bi, pair_lm, pair_codes
+        return (att_order, counts, seg_off, ai, bi, pair_lm, pair_codes,
+                pose_a, pose_b)
 
     att_order = np.lexsort((att_pose, att_lm))
     att_lm_s = att_lm[att_order]
@@ -92,5 +110,8 @@ def attach_pairs(att_lm: np.ndarray, att_pose: np.ndarray, n_lm: int,
     ii = p_local - jj * (jj + 1) // 2
     ai = seg_off[pair_lm] + ii
     bi = seg_off[pair_lm] + jj
-    pair_codes = att_pose_s[bi] * n_pose + att_pose_s[ai]
-    return att_order, counts, seg_off, ai, bi, pair_lm, pair_codes
+    pose_a = att_pose_s[ai]
+    pose_b = att_pose_s[bi]
+    pair_codes = pose_b * n_pose + pose_a
+    return (att_order, counts, seg_off, ai, bi, pair_lm, pair_codes,
+            pose_a, pose_b)

@@ -124,3 +124,211 @@ void gx_pair_fill(const int64_t *counts, int64_t n_lm,
 }
 
 }  // extern "C"
+
+namespace {
+
+// LSD radix argsort: sorts (key, payload) pairs by key. src/dst are
+// interleaved buffers of n entries each.
+struct KV {
+  int64_t k;
+  int64_t v;
+};
+
+void radix_argsort(std::vector<KV> &a, std::vector<KV> &b) {
+  const int64_t n = static_cast<int64_t>(a.size());
+  if (n <= 1) return;
+  int64_t mx = 0;
+  for (const KV &e : a)
+    if (e.k > mx) mx = e.k;
+  KV *src = a.data();
+  KV *dst = b.data();
+  constexpr int kBits = 11;
+  constexpr int kBuckets = 1 << kBits;
+  int64_t count[kBuckets];
+  bool swapped = false;
+  for (int shift = 0; shift < 63 && (mx >> shift) != 0; shift += kBits) {
+    std::memset(count, 0, sizeof(count));
+    for (int64_t i = 0; i < n; ++i)
+      ++count[(src[i].k >> shift) & (kBuckets - 1)];
+    int64_t sum = 0;
+    for (int b2 = 0; b2 < kBuckets; ++b2) {
+      int64_t c = count[b2];
+      count[b2] = sum;
+      sum += c;
+    }
+    for (int64_t i = 0; i < n; ++i)
+      dst[count[(src[i].k >> shift) & (kBuckets - 1)]++] = src[i];
+    std::swap(src, dst);
+    swapped = !swapped;
+  }
+  if (swapped) a.swap(b);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Sorted unique + inverse indices (np.unique(codes, return_inverse=True))
+// in ONE radix pass with payload. uniq has capacity n. Returns ns.
+// Fast path: when bits(max_code) + bits(n) <= 63, key and origin index
+// pack into one int64 (key<<ob | origin) — half the sort traffic.
+int64_t gx_sort_unique_inverse(const int64_t *codes, int64_t n,
+                               int64_t *uniq, int64_t *inverse) {
+  if (n == 0) return 0;
+  int64_t mx = 0;
+  for (int64_t i = 0; i < n; ++i)
+    if (codes[i] > mx) mx = codes[i];
+  int kb = 1, ob = 1;
+  while ((mx >> kb) != 0) ++kb;
+  while (((n - 1) >> ob) != 0) ++ob;
+  if (kb + ob <= 63) {
+    std::vector<int64_t> a(static_cast<size_t>(n));
+    for (int64_t i = 0; i < n; ++i) a[i] = (codes[i] << ob) | i;
+    std::vector<int64_t> tmp;
+    radix_sort(a.data(), n, tmp);
+    const int64_t omask = (int64_t(1) << ob) - 1;
+    int64_t ns = 0;
+    int64_t prev = -1;
+    for (int64_t i = 0; i < n; ++i) {
+      const int64_t k = a[i] >> ob;
+      if (k != prev) {
+        uniq[ns++] = k;
+        prev = k;
+      }
+      inverse[a[i] & omask] = ns - 1;
+    }
+    return ns;
+  }
+  if (kb <= 63 - 20) {
+    // Chunked pack-sort: split into chunks small enough that key+origin
+    // still pack into one int64, then merge the per-chunk uniques and
+    // remap local ranks to global ones. Requires chunks >= 2^20 so the
+    // k-way merge stays over a handful of lists (otherwise fall through
+    // to the struct-payload radix sort).
+    int cb = 63 - kb;  // origin bits available per chunk
+    int64_t chunk = int64_t(1) << cb;
+    int64_t n_chunks = (n + chunk - 1) / chunk;
+    std::vector<std::vector<int64_t>> uniqs(
+        static_cast<size_t>(n_chunks));
+    std::vector<int64_t> tmp;
+    std::vector<int64_t> a;
+    for (int64_t c = 0; c < n_chunks; ++c) {
+      const int64_t lo = c * chunk;
+      const int64_t m = std::min(chunk, n - lo);
+      a.resize(static_cast<size_t>(m));
+      for (int64_t i = 0; i < m; ++i) a[i] = (codes[lo + i] << cb) | i;
+      radix_sort(a.data(), m, tmp);
+      const int64_t omask = chunk - 1;
+      auto &u = uniqs[c];
+      u.reserve(static_cast<size_t>(m));
+      int64_t prev = -1;
+      for (int64_t i = 0; i < m; ++i) {
+        const int64_t k = a[i] >> cb;
+        if (k != prev) {
+          u.push_back(k);
+          prev = k;
+        }
+        // local rank, remapped to global below
+        inverse[lo + (a[i] & omask)] = static_cast<int64_t>(u.size()) - 1;
+      }
+    }
+    // k-way merge of the sorted unique lists (n_chunks is tiny)
+    std::vector<size_t> cur(static_cast<size_t>(n_chunks), 0);
+    int64_t ns = 0;
+    for (;;) {
+      int64_t best = INT64_MAX;
+      for (int64_t c = 0; c < n_chunks; ++c)
+        if (cur[c] < uniqs[c].size() && uniqs[c][cur[c]] < best)
+          best = uniqs[c][cur[c]];
+      if (best == INT64_MAX) break;
+      uniq[ns++] = best;
+      for (int64_t c = 0; c < n_chunks; ++c)
+        if (cur[c] < uniqs[c].size() && uniqs[c][cur[c]] == best) ++cur[c];
+    }
+    // per-chunk local-rank -> global-rank maps, then remap inverse
+    for (int64_t c = 0; c < n_chunks; ++c) {
+      auto &u = uniqs[c];
+      std::vector<int64_t> rank(u.size());
+      for (size_t i = 0; i < u.size(); ++i)
+        rank[i] = std::lower_bound(uniq, uniq + ns, u[i]) - uniq;
+      const int64_t lo = c * chunk;
+      const int64_t m = std::min(chunk, n - lo);
+      for (int64_t i = 0; i < m; ++i)
+        inverse[lo + i] = rank[inverse[lo + i]];
+    }
+    return ns;
+  }
+  std::vector<KV> a(static_cast<size_t>(n)), b(static_cast<size_t>(n));
+  for (int64_t i = 0; i < n; ++i) a[i] = {codes[i], i};
+  radix_argsort(a, b);
+  int64_t ns = 0;
+  int64_t prev = a[0].k - 1;
+  for (int64_t i = 0; i < n; ++i) {
+    if (a[i].k != prev) {
+      uniq[ns++] = a[i].k;
+      prev = a[i].k;
+    }
+    inverse[a[i].v] = ns - 1;
+  }
+  return ns;
+}
+
+// Bounded-range unique+inverse: when codes < bound (small, e.g. the
+// n_pose^2 pair-code range), a flag array + prefix-sum rank beats any
+// sort: three linear passes. Returns ns; uniq capacity min(n, bound),
+// inverse length n.
+int64_t gx_unique_inverse_bounded(const int64_t *codes, int64_t n,
+                                  int64_t bound, int64_t *uniq,
+                                  int64_t *inverse) {
+  if (n == 0) return 0;
+  std::vector<int32_t> rank(static_cast<size_t>(bound), 0);
+  for (int64_t i = 0; i < n; ++i) rank[codes[i]] = 1;
+  int64_t ns = 0;
+  for (int64_t c = 0; c < bound; ++c) {
+    if (rank[c]) {
+      uniq[ns] = c;
+      rank[c] = static_cast<int32_t>(ns++);
+    } else {
+      rank[c] = -1;
+    }
+  }
+  for (int64_t i = 0; i < n; ++i) inverse[i] = rank[codes[i]];
+  return ns;
+}
+
+// Stable counting-sort permutation: perm sorts `keys` stably, with keys in
+// [0, n_buckets). Equivalent to np.argsort(keys, kind="stable").
+void gx_counting_sort_perm(const int64_t *keys, int64_t n, int64_t n_buckets,
+                           int64_t *perm) {
+  std::vector<int64_t> count(static_cast<size_t>(n_buckets) + 1, 0);
+  for (int64_t i = 0; i < n; ++i) ++count[keys[i] + 1];
+  for (int64_t b2 = 0; b2 < n_buckets; ++b2) count[b2 + 1] += count[b2];
+  for (int64_t i = 0; i < n; ++i) perm[count[keys[i]]++] = i;
+}
+
+// gx_pair_fill variant that also writes the pose ids of each pair (saves
+// two 17M-row gathers on the Python side) and uses int32 pair indices.
+void gx_pair_fill2(const int64_t *counts, int64_t n_lm,
+                   const int64_t *att_pose_s, int64_t n_pose, int32_t *ai,
+                   int32_t *bi, int32_t *pair_lm, int64_t *pair_codes,
+                   int32_t *pose_a, int32_t *pose_b) {
+  int64_t p = 0, seg = 0;
+  for (int64_t l = 0; l < n_lm; ++l) {
+    const int64_t c = counts[l];
+    for (int64_t jj = 0; jj < c; ++jj) {
+      const int64_t pb = att_pose_s[seg + jj];
+      for (int64_t ii = 0; ii <= jj; ++ii, ++p) {
+        const int64_t pa = att_pose_s[seg + ii];
+        ai[p] = static_cast<int32_t>(seg + ii);
+        bi[p] = static_cast<int32_t>(seg + jj);
+        pair_lm[p] = static_cast<int32_t>(l);
+        pose_a[p] = static_cast<int32_t>(pa);
+        pose_b[p] = static_cast<int32_t>(pb);
+        pair_codes[p] = pb * n_pose + pa;
+      }
+    }
+    seg += c;
+  }
+}
+
+}  // extern "C"

@@ -107,3 +107,85 @@ def pair_fill(counts, att_pose_s, n_pose: int, total_pairs: int):
                         n_pose, _ptr(ai), _ptr(bi), _ptr(pair_lm),
                         _ptr(pair_codes))
     return ai, bi, pair_lm, pair_codes
+
+
+def _typed2(lib):
+    if not getattr(lib, "_gx_typed2", False):
+        _I32P = ctypes.POINTER(ctypes.c_int32)
+        lib.gx_sort_unique_inverse.argtypes = [
+            _I64P, ctypes.c_int64, _I64P, _I64P]
+        lib.gx_sort_unique_inverse.restype = ctypes.c_int64
+        lib.gx_counting_sort_perm.argtypes = [
+            _I64P, ctypes.c_int64, ctypes.c_int64, _I64P]
+        lib.gx_counting_sort_perm.restype = None
+        lib.gx_pair_fill2.argtypes = [
+            _I64P, ctypes.c_int64, _I64P, ctypes.c_int64,
+            _I32P, _I32P, _I32P, _I64P, _I32P, _I32P]
+        lib.gx_pair_fill2.restype = None
+        lib._gx_typed2 = True
+    return lib
+
+
+def _ptr32(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def sort_unique_inverse(codes):
+    """np.unique(codes, return_inverse=True) in one radix pass."""
+    codes = _as_i64(codes)
+    n = codes.shape[0]
+    if n == 0:
+        return codes, np.zeros(0, dtype=np.int64)
+    uniq = np.empty(n, dtype=np.int64)
+    inverse = np.empty(n, dtype=np.int64)
+    ns = _typed2(_lib()).gx_sort_unique_inverse(
+        _ptr(codes), n, _ptr(uniq), _ptr(inverse))
+    return uniq[:ns].copy(), inverse
+
+
+def counting_sort_perm(keys, n_buckets: int):
+    """np.argsort(keys, kind='stable') for keys in [0, n_buckets)."""
+    keys = _as_i64(keys)
+    perm = np.empty(keys.shape[0], dtype=np.int64)
+    _typed2(_lib()).gx_counting_sort_perm(
+        _ptr(keys), keys.shape[0], n_buckets, _ptr(perm))
+    return perm
+
+
+def pair_fill2(counts, att_pose_s, n_pose: int, total_pairs: int):
+    """pair_fill + pose ids, int32 indices.
+
+    Returns (ai, bi, pair_lm, pair_codes, pose_a, pose_b).
+    """
+    counts = _as_i64(counts)
+    att_pose_s = _as_i64(att_pose_s)
+    ai = np.empty(total_pairs, dtype=np.int32)
+    bi = np.empty(total_pairs, dtype=np.int32)
+    pair_lm = np.empty(total_pairs, dtype=np.int32)
+    pair_codes = np.empty(total_pairs, dtype=np.int64)
+    pose_a = np.empty(total_pairs, dtype=np.int32)
+    pose_b = np.empty(total_pairs, dtype=np.int32)
+    _typed2(_lib()).gx_pair_fill2(
+        _ptr(counts), counts.shape[0], _ptr(att_pose_s), n_pose,
+        _ptr32(ai), _ptr32(bi), _ptr32(pair_lm), _ptr(pair_codes),
+        _ptr32(pose_a), _ptr32(pose_b))
+    return ai, bi, pair_lm, pair_codes, pose_a, pose_b
+
+
+def unique_inverse_bounded(codes, bound: int):
+    """Bounded-range np.unique(return_inverse): flag + prefix-rank."""
+    lib = _typed2(_lib())
+    if not getattr(lib, "_gx_typed3", False):
+        lib.gx_unique_inverse_bounded.argtypes = [
+            _I64P, ctypes.c_int64, ctypes.c_int64, _I64P, _I64P]
+        lib.gx_unique_inverse_bounded.restype = ctypes.c_int64
+        lib._gx_typed3 = True
+    codes = _as_i64(codes)
+    n = codes.shape[0]
+    if n == 0:
+        return codes, np.zeros(0, dtype=np.int64)
+    uniq = np.empty(min(n, bound), dtype=np.int64)
+    inverse = np.empty(n, dtype=np.int64)
+    ns = lib.gx_unique_inverse_bounded(_ptr(codes), n, bound, _ptr(uniq),
+                                       _ptr(inverse))
+    return uniq[:ns].copy(), inverse

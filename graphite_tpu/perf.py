@@ -174,3 +174,44 @@ def flop_ledger(problem, pcg_iters: int = 10,
         + sum(ss.lm_h_idx[d].shape[0] * 2.0 * d * d for d in ss.lm_dims)
     )
     return ledger
+
+
+# ---------------------------------------------------------------------------
+# Freeze-time section tracing
+# ---------------------------------------------------------------------------
+
+class SectionTimer:
+    """Per-section wall-clock tracer for host-side setup phases.
+
+    Enabled by ``GRAPHITE_TPU_TRACE_FREEZE=1``; a disabled timer is a
+    no-op. Used by ``Graph.freeze`` / ``build_hessian_structure`` /
+    ``build_schur_structure`` to attribute Venice-Final-scale setup cost
+    (the analog of the reference's timed setup phases, bal.cu:93-147).
+    """
+
+    def __init__(self, name: str):
+        import os
+        import sys
+        import time
+
+        self.enabled = bool(os.environ.get("GRAPHITE_TPU_TRACE_FREEZE"))
+        self._name = name
+        self._time = time.perf_counter
+        self._err = sys.stderr
+        self._t0 = self._time()
+        self._start = self._t0
+
+    def lap(self, label: str) -> None:
+        if not self.enabled:
+            return
+        t = self._time()
+        print(f"[freeze-trace] {self._name}.{label}: {t - self._t0:.2f}s",
+              file=self._err, flush=True)
+        self._t0 = t
+
+    def done(self) -> None:
+        if not self.enabled:
+            return
+        t = self._time()
+        print(f"[freeze-trace] {self._name} TOTAL: {t - self._start:.2f}s",
+              file=self._err, flush=True)

@@ -102,7 +102,10 @@ class SchurStructure:
 def build_schur_structure(problem) -> SchurStructure:
     if "schur_structure" in problem._cache:
         return problem._cache["schur_structure"]
+    from .perf import SectionTimer
+    _tm = SectionTimer("schur_structure")
     hs = build_hessian_structure(problem)
+    _tm.lap("hessian_structure")
     eb = problem.elimination_block
     nb_total = problem.n_blocks
     if eb >= nb_total:
@@ -129,7 +132,7 @@ def build_schur_structure(problem) -> SchurStructure:
         counts = np.bincount(group_ids, minlength=n_groups)
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         out = np.empty(group_ids.shape[0], dtype=np.int64)
-        perm = np.argsort(group_ids, kind="stable")
+        perm = hostops.stable_argsort(group_ids, n_groups)
         out[perm] = np.arange(group_ids.shape[0]) - np.repeat(starts, counts)
         return out
 
@@ -149,6 +152,7 @@ def build_schur_structure(problem) -> SchurStructure:
         lm_h_idx[d] = hs.diag_idx[sel].astype(np.int32)
         lm_col_offset[d] = offsets[sel].astype(np.int64)
 
+    _tm.lap("lm_groups")
     # --- classify H blocks (vectorized) ---
     is_hpp = cols_h < eb
     is_hpl = (~is_hpp) & (rows_h < eb)
@@ -174,23 +178,26 @@ def build_schur_structure(problem) -> SchurStructure:
         key_id_of[m] = ki
         idx_in_key[m] = np.arange(sel.shape[0])
 
+    _tm.lap("hpl_groups")
     # --- per-landmark attach lists + pose-pair fill-in discovery
     # (schur.hpp:397-476; native C++ with NumPy fallback) ---
     att_lm = cols_h[hpl_sel] - eb
     att_pose = rows_h[hpl_sel]
-    att_order, counts, seg_off, ai, bi, pair_lm, pair_codes = (
-        hostops.attach_pairs(att_lm, att_pose, n_lm, n_pose))
-    att_pose_s = att_pose[att_order]
+    (att_order, counts, seg_off, ai, bi, pair_lm, pair_codes,
+     pose_a, pose_b) = hostops.attach_pairs(att_lm, att_pose, n_lm, n_pose)
     att_key_s = key_id_of[att_order]
     att_idx_s = idx_in_key[att_order]
-    pose_a = att_pose_s[ai]
-    pose_b = att_pose_s[bi]
 
-    # --- S sparsity: union of Hpp coords and fill-in pairs ---
+    _tm.lap("attach_pairs")
+    # --- S sparsity: union of Hpp coords and fill-in pairs. One
+    # radix-argsort pass gives both the unique S codes and, via the
+    # inverse, every Hpp block's and every pair's destination position ---
     hpp_sel = np.nonzero(is_hpp)[0]
     hpp_codes = cols_h[hpp_sel] * n_pose + rows_h[hpp_sel]
-    s_codes = hostops.sorted_unique(
-        np.concatenate([hpp_codes, pair_codes]))
+    s_codes, s_inverse = hostops.unique_inverse(
+        np.concatenate([hpp_codes, pair_codes]), bound=n_pose * n_pose)
+    hpp_pos = s_inverse[: hpp_codes.shape[0]]
+    pair_pos = s_inverse[hpp_codes.shape[0]:]
     s_rows_all = (s_codes % n_pose).astype(np.int64)
     s_cols_all = (s_codes // n_pose).astype(np.int64)
     ns_total = s_codes.shape[0]
@@ -208,14 +215,11 @@ def build_schur_structure(problem) -> SchurStructure:
     s_cols = {key: s_cols_all[s_group_of == gi]
               for gi, key in enumerate(s_keys)}
 
-    def s_lookup(codes):
-        pos = hostops.searchsorted(s_codes, codes)
-        return s_index_in_group[pos], s_group_of[pos]
-
+    _tm.lap("s_sparsity")
     # --- Hpp copy ops grouped by H group (vectorized) ---
     hpp_copy = []
     hpp_dims_code = (dims[rows_h[hpp_sel]] * 100000 + dims[cols_h[hpp_sel]])
-    hpp_s_idx, _ = s_lookup(hpp_codes)
+    hpp_s_idx = s_index_in_group[hpp_pos]
     for code in np.unique(hpp_dims_code):
         key = (int(code // 100000), int(code % 100000))
         m = hpp_dims_code == code
@@ -224,40 +228,69 @@ def build_schur_structure(problem) -> SchurStructure:
              hpp_s_idx[m].astype(np.int32))
         )
 
-    # --- triple products grouped by (dpa, dl, dpb), dst-sorted + chunked ---
-    dpa_all = dims[pose_a]
-    dpb_all = dims[pose_b]
-    dl_all = lm_dim_of[pair_lm]
-    tri_code = (dpa_all * 100000 + dl_all) * 100000 + dpb_all
-    dst_idx_all, dst_group_all = s_lookup(pair_codes)
+    _tm.lap("hpp_copy")
+    # --- triple products grouped by (dpa, dl, dpb), dst-sorted + chunked.
+    # Single-group fast path (uniform block dims, e.g. BAL): no per-group
+    # masks over the pair arrays ---
     products = []
-    for code in hostops.sorted_unique(tri_code):
-        m = tri_code == code
-        dpa = int(code // (100000 * 100000))
-        dl = int((code // 100000) % 100000)
-        dpb = int(code % 100000)
-        lkeys = att_key_s[ai[m]]
-        rkeys = att_key_s[bi[m]]
-        assert np.all(lkeys == lkeys[0]) and np.all(rkeys == rkeys[0])
-        dst_g = dst_group_all[m]
-        assert np.all(dst_g == dst_g[0])
-        dst_key = s_keys[int(dst_g[0])]
-        left = att_idx_s[ai[m]].astype(np.int32)
-        right = att_idx_s[bi[m]].astype(np.int32)
-        mid = lm_group_index[pair_lm[m]].astype(np.int32)
-        dst = dst_idx_all[m].astype(np.int32)
-        order = np.argsort(dst, kind="stable")
+    if len(hpl_keys) == 1 and len(lm_dims) == 1 and len(s_keys) == 1:
+        # Uniform-dims fast path (BAL): one (dpa, dl, dpb) group; with a
+        # single S group, index_in_group is the identity (dst = pair_pos),
+        # with a single lm dim lm_group_index is the identity
+        # (mid = pair_lm), and key ids are all zero — no 17M-row gathers.
+        dp, dl = hpl_keys[0]
+        dst = pair_pos.astype(np.int32)
+        left = att_idx_s[ai].astype(np.int32)
+        right = att_idx_s[bi].astype(np.int32)
+        mid = pair_lm.astype(np.int32)
+        _tm.lap("products.gather")
+        order = hostops.stable_argsort(dst, s_sizes[s_keys[0]])
+        _tm.lap("products.sort")
         products.append(
             dict(
-                dims=(dpa, dl, dpb),
-                left_key=hpl_keys[int(lkeys[0])],
-                right_key=hpl_keys[int(rkeys[0])],
-                dst_key=dst_key,
+                dims=(dp, dl, dp),
+                left_key=hpl_keys[0], right_key=hpl_keys[0],
+                dst_key=s_keys[0],
                 left=left[order], right=right[order],
                 mid=mid[order], dst=dst[order],
             )
         )
+        _tm.lap("products.apply_perm")
+    else:
+        dst_idx_all = s_index_in_group[pair_pos]
+        dst_group_all = s_group_of[pair_pos]
+        dpa_all = dims[pose_a]
+        dpb_all = dims[pose_b]
+        dl_all = lm_dim_of[pair_lm]
+        tri_code = (dpa_all * 100000 + dl_all) * 100000 + dpb_all
+        for code in hostops.sorted_unique(tri_code):
+            m = tri_code == code
+            dpa = int(code // (100000 * 100000))
+            dl = int((code // 100000) % 100000)
+            dpb = int(code % 100000)
+            lkeys = att_key_s[ai[m]]
+            rkeys = att_key_s[bi[m]]
+            assert np.all(lkeys == lkeys[0]) and np.all(rkeys == rkeys[0])
+            dst_g = dst_group_all[m]
+            assert np.all(dst_g == dst_g[0])
+            dst_key = s_keys[int(dst_g[0])]
+            left = att_idx_s[ai[m]].astype(np.int32)
+            right = att_idx_s[bi[m]].astype(np.int32)
+            mid = lm_group_index[pair_lm[m]].astype(np.int32)
+            dst = dst_idx_all[m].astype(np.int32)
+            order = hostops.stable_argsort(dst, s_sizes[dst_key])
+            products.append(
+                dict(
+                    dims=(dpa, dl, dpb),
+                    left_key=hpl_keys[int(lkeys[0])],
+                    right_key=hpl_keys[int(rkeys[0])],
+                    dst_key=dst_key,
+                    left=left[order], right=right[order],
+                    mid=mid[order], dst=dst[order],
+                )
+            )
 
+    _tm.lap("products")
     # --- S diagonal lookup (vectorized) ---
     diag_codes = np.arange(n_pose) * n_pose + np.arange(n_pose)
     pos = np.searchsorted(s_codes, diag_codes)
@@ -301,6 +334,8 @@ def build_schur_structure(problem) -> SchurStructure:
         block_type=block_type,
         block_row=block_row,
     )
+    _tm.lap("diag_and_block_maps")
+    _tm.done()
     problem._cache["schur_structure"] = ss
     return ss
 

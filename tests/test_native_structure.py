@@ -42,6 +42,33 @@ def test_primitives_match_numpy():
 
 
 @needs_native
+def test_sort_unique_inverse_all_paths():
+    """Every internal strategy of gx_sort_unique_inverse: packed single
+    int64, chunked pack+merge (wide keys), struct-payload fallback."""
+    rng = np.random.default_rng(2)
+    for codes in (
+        rng.integers(0, 1 << 22, size=300_000),      # packed
+        rng.integers(1 << 40, 1 << 41, size=300_000),  # chunked
+        rng.integers(1 << 61, 1 << 62, size=100_000),  # KV fallback
+        np.asarray([5, 5, 5], dtype=np.int64),
+        np.asarray([0], dtype=np.int64),
+    ):
+        u, inv = native_structure.sort_unique_inverse(codes)
+        u2, inv2 = np.unique(codes, return_inverse=True)
+        np.testing.assert_array_equal(u, u2)
+        np.testing.assert_array_equal(inv, inv2)
+
+
+@needs_native
+def test_counting_sort_perm_matches_stable_argsort():
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 97, size=200_000)
+    np.testing.assert_array_equal(
+        native_structure.counting_sort_perm(keys, 97),
+        np.argsort(keys, kind="stable"))
+
+
+@needs_native
 def test_attach_pairs_matches_numpy_fallback():
     rng = np.random.default_rng(1)
     K, n_lm, n_pose = 30_000, 5_000, 40
