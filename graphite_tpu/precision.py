@@ -71,9 +71,20 @@ class Precision:
 
         TPU f32 matmuls default to single-pass bf16 inputs, which destroys
         the Schur complement's cancellation (S = Hpp - correction) — an
-        fp32 policy must use 'highest' (bf16x3 passes, ~f32-exact). A low
-        solver dtype means the user opted into bf16 arithmetic.
+        fp32 policy must use 'highest' (6-pass, f32-exact). A low solver
+        dtype means the user opted into bf16 arithmetic.
+
+        ``GRAPHITE_TPU_MATMUL_PRECISION`` overrides the policy choice
+        (e.g. 'high' = bf16x3, ~1e-6 rel err on the Schur cancellation —
+        measured on-chip in BENCHMARKS.md); most fp32 FLOPs now run on the
+        VPU (ops/blockfmt.py) so the override mainly affects jacfwd
+        linearization and the dense-S PCG matvec.
         """
+        import os
+
+        override = os.environ.get("GRAPHITE_TPU_MATMUL_PRECISION")
+        if override:
+            return override
         return "default" if is_low_precision(self.solver_dtype) else "highest"
 
     @property
