@@ -1,0 +1,215 @@
+"""Pallas TPU kernel: sorted segmented reduction with HBM-streamed output.
+
+Companion to `segsum.py` (windowed one-hot MXU reduction) for outputs too
+large to stay VMEM-resident (the Venice-Final-scale Schur product scatter:
+~1.6M S blocks x 81 floats ≈ 0.5 GB). Same math per chunk — values arrive
+destination-sorted, each CHUNK of rows touches a window of at most W
+consecutive segments, reduced as ``onehot(CHUNK, W)^T @ vals(CHUNK, D)``
+on the MXU — but the output lives in HBM and the kernel keeps only a
+**rolling accumulator** of A = W_pad + 2F rows in VMEM:
+
+- windows advance monotonically (dst-sorted input), so rows behind the
+  current window base are final;
+- the host plan precomputes, per grid step, how many F-row blocks to
+  flush (`nflush`) and the accumulator's base row (`bases`);
+- a flush DMAs acc[0:F] to out[base:base+F] (each output row is written
+  to HBM exactly once — the minimum possible traffic), shifts the
+  accumulator down by F and zeroes the vacated tail;
+- epilogue grid steps (input-compute masked off) flush the remaining
+  accumulator rows.
+
+Reference parity: this is the TPU analog of the atomicAdd scatter of the
+Schur triple-product kernels (reference ops/schur.hpp:117-188), restated
+as dense matmul + sequential streaming instead of random-access atomics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def plan_streaming_segsum(seg_sorted: np.ndarray, num_segments: int,
+                          chunk: int = 2048, flush_mult: int = 16,
+                          vmem_rows: int = 8192) -> dict:
+    """Freeze-time plan: per-step window starts, flush counts, bases.
+
+    The accumulator A = W_pad + 2F is capped at `vmem_rows` (~4 MB at 128
+    f32 lanes) by shrinking the flush block F; when even F = W_pad does
+    not fit (window nearly as wide as a chunk — low segment multiplicity,
+    where a one-hot matmul is the wrong tool anyway) the plan is marked
+    ``feasible=False`` and the caller should use XLA's segment_sum.
+    """
+    k = seg_sorted.shape[0]
+    k_pad = max(_round_up(k, chunk), chunk)
+    # padding rows target a trailing TRASH segment (index num_segments), so
+    # callers may pass k_pad-length value buffers with arbitrary pad rows
+    seg_pad = np.concatenate(
+        [seg_sorted, np.full(k_pad - k, num_segments,
+                             dtype=seg_sorted.dtype)]
+    ).astype(np.int32)
+    n_chunks = k_pad // chunk
+    first = seg_pad[::chunk].astype(np.int64)
+    last = seg_pad[chunk - 1::chunk].astype(np.int64)
+    w0 = (first // 8) * 8  # sublane-aligned window base per chunk
+    w_pad = _round_up(int((last - w0).max()) + 1, 8) if n_chunks else 8
+    f_cap = ((vmem_rows - w_pad) // 2) // 8 * 8
+    if f_cap < 8:
+        return dict(feasible=False, w_pad=w_pad)
+    f = min(_round_up(flush_mult * w_pad, 8), f_cap)
+    a = w_pad + 2 * f
+
+    # host flush schedule: before chunk i, flush enough F-blocks that its
+    # whole window [w0, w0+W) fits in [base, base+A); flushed rows are
+    # strictly below w0 (final, since windows advance monotonically)
+    nflush = np.zeros(n_chunks, dtype=np.int32)
+    bases = np.zeros(n_chunks, dtype=np.int32)
+    base = 0
+    for i in range(n_chunks):
+        need = int(w0[i]) + w_pad - a - base
+        kf = max(0, -(-need // f))
+        base += kf * f
+        assert base <= int(w0[i]), "flush schedule would drop live rows"
+        nflush[i] = kf
+        bases[i] = base - kf * f  # base BEFORE this step's flushes
+    # epilogue: flush the remaining A rows (A/F blocks), one per step
+    n_extra = a // f
+    nflush = np.concatenate([nflush, np.ones(n_extra, dtype=np.int32)])
+    bases = np.concatenate(
+        [bases, (base + np.arange(n_extra, dtype=np.int32) * f)
+         .astype(np.int32)]
+    )
+    w0_steps = np.concatenate([w0.astype(np.int32),
+                               np.zeros(n_extra, dtype=np.int32)])
+    out_alloc = base + a
+    return dict(
+        feasible=True,
+        k=k, k_pad=k_pad, chunk=chunk, n_chunks=n_chunks,
+        n_steps=n_chunks + n_extra, w_pad=w_pad, f=f, a=a,
+        out_alloc=out_alloc, num_segments=num_segments,
+        starts=w0_steps, nflush=nflush, bases=bases,
+        seg_pad_2d=seg_pad.reshape(k_pad, 1),
+    )
+
+
+def _kernel(starts_ref, nflush_ref, bases_ref, vals_ref, seg_ref, out_ref,
+            acc_ref, sem, *, chunk, w_pad, f, a, n_chunks, d, d_pad):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # ---- flushes scheduled before this step's compute ----
+    nf = nflush_ref[i]
+    base0 = bases_ref[i]
+
+    def flush(kf, carry):
+        copy = pltpu.make_async_copy(
+            acc_ref.at[pl.ds(0, f), :],
+            out_ref.at[pl.ds(base0 + kf * f, f), :],
+            sem,
+        )
+        copy.start()
+        copy.wait()
+        # shift the accumulator down by F and zero the vacated tail
+        acc_ref[pl.ds(0, a - f), :] = acc_ref[pl.ds(f, a - f), :]
+        acc_ref[pl.ds(a - f, f), :] = jnp.zeros((f, d_pad), acc_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, nf, flush, 0)
+
+    # ---- chunk compute (masked off on epilogue steps) ----
+    @pl.when(i < n_chunks)
+    def _():
+        base = base0 + nf * f
+        w0 = starts_ref[i]
+        seg = seg_ref[:, 0]
+        col = jax.lax.broadcasted_iota(jnp.int32, (chunk, w_pad), 1)
+        onehot = (seg[:, None] - w0 == col).astype(jnp.float32)
+        vals = vals_ref[:].astype(jnp.float32)
+        partial = jax.lax.dot_general(
+            onehot, vals, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if d_pad != d:  # DMA lanes are 128-aligned; values are not
+            partial = jnp.concatenate(
+                [partial, jnp.zeros((w_pad, d_pad - d), partial.dtype)],
+                axis=1)
+        slot = w0 - base  # sublane-aligned: w0 and base are 8-multiples
+        cur = acc_ref[pl.ds(slot, w_pad), :]
+        acc_ref[pl.ds(slot, w_pad), :] = cur + partial.astype(acc_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "w_pad", "f", "a", "n_chunks",
+                              "n_steps", "k_pad", "out_alloc",
+                              "num_segments")
+)
+def _run(vals_pad, seg_pad, starts, nflush, bases, *, chunk, w_pad, f, a,
+         n_chunks, n_steps, k_pad, out_alloc, num_segments):
+    d = vals_pad.shape[1]
+    d_pad = _round_up(d, 128)  # acc/out lanes: DMA slices must align
+    last = n_chunks - 1
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, chunk=chunk, w_pad=w_pad, f=f, a=a,
+                          n_chunks=n_chunks, d=d, d_pad=d_pad),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec((chunk, d),
+                             lambda i, *s: (jnp.minimum(i, last), 0)),
+                pl.BlockSpec((chunk, 1),
+                             lambda i, *s: (jnp.minimum(i, last), 0)),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((a, d_pad), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((out_alloc, d_pad), jnp.float32),
+    )(starts, nflush, bases, vals_pad, seg_pad)
+    return out[:num_segments, :d]
+
+
+def streaming_segment_sum(values: jax.Array, plan: dict, seg_pad=None,
+                          starts=None, nflush=None, bases=None) -> jax.Array:
+    """(K, D) destination-sorted values -> (num_segments, D), output
+    streamed to HBM (no VMEM-resident output size limit)."""
+    k, k_pad, chunk = plan["k"], plan["k_pad"], plan["chunk"]
+    d = values.shape[1]
+    if values.shape[0] == k_pad:
+        # caller already provides k_pad rows (pad rows land on the trash
+        # segment, so their content is irrelevant) — no copy
+        vals_pad = values
+    else:
+        vals_pad = jnp.zeros((k_pad, d), dtype=values.dtype)
+        vals_pad = jax.lax.dynamic_update_slice(vals_pad, values, (0, 0))
+    if seg_pad is None:
+        seg_pad = jnp.asarray(plan["seg_pad_2d"])
+    if starts is None:
+        starts = jnp.asarray(plan["starts"])
+    if nflush is None:
+        nflush = jnp.asarray(plan["nflush"])
+    if bases is None:
+        bases = jnp.asarray(plan["bases"])
+    return _run(
+        vals_pad, seg_pad, starts, nflush, bases,
+        chunk=chunk, w_pad=plan["w_pad"], f=plan["f"], a=plan["a"],
+        n_chunks=plan["n_chunks"], n_steps=plan["n_steps"],
+        k_pad=k_pad, out_alloc=plan["out_alloc"],
+        num_segments=plan["num_segments"],
+    ).astype(values.dtype)

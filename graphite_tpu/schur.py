@@ -461,13 +461,12 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
         dpa, dl, dpb = pg["dims"]
         key = pg["dst_key"]
         K = pg["dst"].shape[0]
-        left = problem.const(("prod_l", gi), pg["left"])
-        right = problem.const(("prod_r", gi), pg["right"])
-        dst = problem.const(("prod_dst", gi), pg["dst"])
         Wsrc = hpl_w[pg["left_key"]]
         Rsrc = hvals[pg["right_key"]]
 
         if K <= CHUNK_THRESHOLD:
+            left = problem.const(("prod_l", gi), pg["left"])
+            right = problem.const(("prod_r", gi), pg["right"])
             # dst -= W R^T (ops/schur.hpp:117-188), as a fused flat 2-D VPU
             # product: a batched einsum's (K, dpa, dpb) output is tile-padded
             # ~16x in HBM and cannot fuse into the Pallas scatter call.
@@ -480,6 +479,59 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
             )
         else:
             ns = ss.s_sizes[key]
+
+            # HBM-streamed Pallas scatter: compute the flat products in
+            # bounded scan chunks into an HBM buffer, then one streaming
+            # windowed-one-hot pass reduces it — each S row is written to
+            # HBM exactly once. This replaces folding a full
+            # (ns, dpa*dpb) accumulator through every scan step
+            # (~ns * K/CHUNK rows of read+write traffic: ~265 GB per
+            # Schur rebuild at Venice-Final scale). The work is split
+            # into dst-contiguous PARTS so the product buffer stays
+            # bounded (~1.4 GB) — 17M x 81 floats at once would not fit
+            # HBM next to the Hessian values.
+            parts = _plan_stream_parts(problem, ss, gi, pg, ns, inv_dt)
+            if parts is not None:
+                from .ops.pallas.segsum_stream import streaming_segment_sum
+
+                def prod_chunk(chunk_arrays, dpa=dpa, dl=dl, dpb=dpb,
+                               Wsrc=Wsrc, Rsrc=Rsrc):
+                    li, ri = chunk_arrays
+                    return flat_block_mm_nt(
+                        Wsrc[li], Rsrc[ri].astype(inv_dt), dpa, dl, dpb,
+                        acc_dtype=inv_dt,
+                    )
+
+                for p, part in enumerate(parts):
+                    plan = part["plan"]
+                    li = problem.const(("stream_l", gi, p), part["left"])
+                    ri = problem.const(("stream_r", gi, p), part["right"])
+                    if p > 0:
+                        # serialize parts: without a data dependency XLA
+                        # may schedule every part's (k_pad, dpa*dpb)
+                        # product buffer live at once (HBM OOM at
+                        # Venice-Final scale). x*0.0 is not folded for
+                        # floats (NaN semantics), so this is a real edge.
+                        dep = (s_vals[key][0, 0] * 0.0).astype(li.dtype)
+                        li = li + dep
+                    prod_flat = scan_map(prod_chunk, (li, ri),
+                                         plan["k_pad"], CHUNK)
+                    acc = streaming_segment_sum(
+                        prod_flat, plan,
+                        seg_pad=problem.const(("stream_seg", gi, p),
+                                              plan["seg_pad_2d"]),
+                        starts=problem.const(("stream_starts", gi, p),
+                                             plan["starts"]),
+                        nflush=problem.const(("stream_nflush", gi, p),
+                                             plan["nflush"]),
+                        bases=problem.const(("stream_bases", gi, p),
+                                            plan["bases"]),
+                    )
+                    s0, ns_p = part["seg0"], plan["num_segments"]
+                    s_vals[key] = (
+                        s_vals[key].at[s0:s0 + ns_p].add(-acc)
+                    )
+                continue
 
             def prod_body(carry, chunk_arrays, dpa=dpa, dl=dl, dpb=dpb,
                           ns=ns, Wsrc=Wsrc, Rsrc=Rsrc):
@@ -494,11 +546,68 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
 
             acc0 = jnp.zeros((ns + 1, dpa * dpb), dtype=inv_dt)
             acc = scan_accumulate(
-                prod_body, (left, right, dst), K, CHUNK, acc0,
+                prod_body,
+                (problem.const(("prod_l", gi), pg["left"]),
+                 problem.const(("prod_r", gi), pg["right"]),
+                 problem.const(("prod_dst", gi), pg["dst"])),
+                K, CHUNK, acc0,
                 fills=[0, 0, ns],  # padding rows target the trash segment
             )
             s_vals[key] = s_vals[key] - acc[:ns]
     return SchurValues(hll_inv=hll_inv, s_vals=s_vals)
+
+
+# rows per streaming-scatter part: bounds the (rows, dpa*dpb) product
+# transient to ~0.7 GB f32 at 9x9 blocks
+STREAM_PART_ROWS = 1 << 21
+
+
+def _plan_stream_parts(problem, ss, gi, pg, ns, inv_dt):
+    """Freeze-time plan (cached) for the HBM-streamed product scatter:
+    dst-contiguous parts, each with its own streaming-segsum plan and
+    k_pad-padded gather indices (pad rows -> trash segment). Returns None
+    when the kernel is unavailable/infeasible (caller uses the fold
+    path)."""
+    if not _use_pallas(problem, inv_dt):
+        return None
+    from .ops.pallas.segsum_stream import plan_streaming_segsum
+
+    cache = problem._cache.setdefault("segsum_stream_plans", {})
+    if gi in cache:
+        return cache[gi]
+    dst = pg["dst"]
+    K = dst.shape[0]
+    n_parts = max(1, -(-K // STREAM_PART_ROWS))
+    bounds = [0]
+    for p in range(1, n_parts):
+        idx = p * (K // n_parts)
+        # align down to a segment boundary so parts never split a segment
+        idx = int(np.searchsorted(dst, dst[idx], side="left"))
+        if idx > bounds[-1]:
+            bounds.append(idx)
+    bounds.append(K)
+    parts = []
+    feasible = True
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        if hi - lo > 2 * STREAM_PART_ROWS:  # one segment dwarfs the budget
+            feasible = False
+            break
+        seg0 = int(dst[lo])
+        seg_rel = (dst[lo:hi].astype(np.int64) - seg0).astype(np.int32)
+        ns_p = int(dst[hi - 1]) - seg0 + 1
+        plan = plan_streaming_segsum(seg_rel, ns_p, chunk=2048)
+        if not plan["feasible"]:
+            feasible = False
+            break
+        pad = plan["k_pad"] - (hi - lo)
+        left = pg["left"][lo:hi]
+        right = pg["right"][lo:hi]
+        if pad:
+            left = np.concatenate([left, np.zeros(pad, left.dtype)])
+            right = np.concatenate([right, np.zeros(pad, right.dtype)])
+        parts.append(dict(plan=plan, seg0=seg0, left=left, right=right))
+    cache[gi] = parts if feasible else None
+    return cache[gi]
 
 
 def _use_pallas(problem, dtype) -> bool:

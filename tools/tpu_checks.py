@@ -96,6 +96,41 @@ def main():
     log(f"2.  pallas segsum rel err: {rel_p:.2e}")
     assert rel_p < 1e-5, rel_p
 
+    # 2b. streaming (HBM-output) Pallas segsum vs XLA
+    from graphite_tpu.ops.pallas.segsum_stream import (
+        plan_streaming_segsum, streaming_segment_sum,
+    )
+
+    k2, ns2 = 200_000, 20_000
+    seg2 = np.sort(rng.integers(0, ns2, k2)).astype(np.int32)
+    vals2 = jnp.asarray(rng.normal(size=(k2, d)), jnp.float32)
+    plan2 = plan_streaming_segsum(seg2, ns2, chunk=2048)
+    assert plan2["feasible"]
+    out2 = streaming_segment_sum(vals2, plan2)
+    ref2 = jax.ops.segment_sum(vals2, jnp.asarray(seg2), num_segments=ns2)
+    rel_s = float(jnp.max(jnp.abs(out2 - ref2)) / jnp.max(jnp.abs(ref2)))
+    log(f"2b. streaming segsum rel err: {rel_s:.2e}")
+    assert rel_s < 1e-5, rel_s
+
+    # 2c. the streaming scatter inside schur_values (forced small
+    # CHUNK_THRESHOLD) matches the default fused path
+    from graphite_tpu import schur as schur_mod
+
+    saved_threshold = schur_mod.CHUNK_THRESHOLD
+    try:
+        schur_mod.CHUNK_THRESHOLD = 1 << 12
+        problem._cache.pop("segsum_stream_plans", None)
+        sv_stream = jax.jit(
+            lambda h: schur_values(problem, ss, h))(hv)
+        for key_ in sv.s_vals:
+            a = np.asarray(sv.s_vals[key_], dtype=np.float64)
+            b_ = np.asarray(sv_stream.s_vals[key_], dtype=np.float64)
+            rel_c = np.abs(a - b_).max() / (np.abs(a).max() + 1e-30)
+            log(f"2c. schur_values streaming path rel err: {rel_c:.2e}")
+            assert rel_c < 1e-5, rel_c
+    finally:
+        schur_mod.CHUNK_THRESHOLD = saved_threshold
+
     # 3. end-to-end LM
     from graphite_tpu.optimizers import (
         LevenbergMarquardtOptions, levenberg_marquardt,
