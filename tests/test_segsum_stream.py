@@ -1,0 +1,65 @@
+"""Streaming (HBM-output) Pallas segmented sum — CPU coverage via
+Pallas interpret mode (the real-kernel path is exercised on hardware by
+tools/tpu_checks.py checks 2b/2c)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import graphite_tpu.ops.pallas.segsum_stream as ss_mod
+from graphite_tpu.ops.pallas.segsum_stream import (
+    plan_streaming_segsum,
+    streaming_segment_sum,
+)
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setattr(
+        ss_mod.pl, "pallas_call",
+        functools.partial(jax.experimental.pallas.pallas_call,
+                          interpret=True))
+
+
+@pytest.mark.parametrize("k,ns,d,chunk", [
+    (5_000, 500, 81, 512),     # multi-flush
+    (700, 64, 81, 512),        # single chunk + epilogue only
+    (4_096, 40, 36, 512),      # heavy multiplicity, small D
+    (3_000, 2_900, 8, 256),    # near-unique segments (wide windows)
+])
+def test_matches_segment_sum(k, ns, d, chunk):
+    rng = np.random.default_rng(k)
+    seg = np.sort(rng.integers(0, ns, size=k)).astype(np.int32)
+    vals = rng.standard_normal((k, d)).astype(np.float32)
+    plan = plan_streaming_segsum(seg, ns, chunk=chunk)
+    assert plan["feasible"]
+    out = streaming_segment_sum(jnp.asarray(vals), plan)
+    ref = jax.ops.segment_sum(jnp.asarray(vals), jnp.asarray(seg),
+                              num_segments=ns)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_prepadded_rows_hit_trash_segment():
+    """Callers may pass k_pad rows; pad-row content must not leak."""
+    rng = np.random.default_rng(9)
+    k, ns, d, chunk = 1_000, 100, 16, 256
+    seg = np.sort(rng.integers(0, ns, size=k)).astype(np.int32)
+    vals = rng.standard_normal((k, d)).astype(np.float32)
+    plan = plan_streaming_segsum(seg, ns, chunk=chunk)
+    garbage = np.full((plan["k_pad"] - k, d), 1e30, dtype=np.float32)
+    vals_pad = jnp.asarray(np.concatenate([vals, garbage]))
+    out = streaming_segment_sum(vals_pad, plan)
+    ref = jax.ops.segment_sum(jnp.asarray(vals), jnp.asarray(seg),
+                              num_segments=ns)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_infeasible_plan_reports():
+    seg = np.arange(100_000, dtype=np.int32)  # multiplicity 1
+    plan = plan_streaming_segsum(seg, 100_000, chunk=2048, vmem_rows=64)
+    assert not plan["feasible"]
