@@ -59,6 +59,18 @@ CHUNK_THRESHOLD = 1 << 22
 CHUNK = 1 << 16
 
 
+def _chunk_threshold(problem) -> int:
+    """Fusion bound, scaled down for huge problems: at Venice-Final scale
+    (dim_h ~ 3M) the fully-jitted LM while_loop runs so close to the HBM
+    limit that the 2^22 fused transients crash the TPU worker — measured
+    empirically; 2^19 (the bound the loop was validated at) leaves
+    headroom. Reads the module global so tests can still force tiny
+    thresholds."""
+    if problem.dim_h > 1_000_000:
+        return min(CHUNK_THRESHOLD, 1 << 19)
+    return CHUNK_THRESHOLD
+
+
 @dataclasses.dataclass
 class SchurStructure:
     """Static (host) description of the Schur system."""
@@ -407,7 +419,7 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
             return flat_block_mm_nn(hf.astype(inv_dt), mf, dp, dl, dl,
                                     acc_dtype=inv_dt)
 
-        if K <= CHUNK_THRESHOLD:
+        if K <= _chunk_threshold(problem):
             hpl_w[key] = w_body((hpl_flat, mid_flat))
         else:
             hpl_w[key] = scan_map(w_body, (hpl_flat, mid_flat), K, CHUNK)
@@ -464,7 +476,7 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
         Wsrc = hpl_w[pg["left_key"]]
         Rsrc = hvals[pg["right_key"]]
 
-        if K <= CHUNK_THRESHOLD:
+        if K <= _chunk_threshold(problem):
             left = problem.const(("prod_l", gi), pg["left"])
             right = problem.const(("prod_r", gi), pg["right"])
             # dst -= W R^T (ops/schur.hpp:117-188), as a fused flat 2-D VPU
@@ -768,7 +780,7 @@ class SchurOps:
                         )
 
                     acc0 = jnp.zeros((n_seg, dp), dtype=gdt)
-                    if K <= CHUNK_THRESHOLD:
+                    if K <= _chunk_threshold(problem):
                         acc = bs_body(acc0, (lrow_c, sub_c, prow_c))[:-1]
                     else:
                         acc = scan_accumulate(
@@ -828,7 +840,7 @@ class SchurOps:
                         )
 
                     acc0 = jnp.zeros((n_seg_r, dr_k), dtype=gdt)
-                    if K <= CHUNK_THRESHOLD:
+                    if K <= _chunk_threshold(problem):
                         acc = smv_body(acc0, (sub_c, crow_c, rrow_c))[:-1]
                     else:
                         acc = scan_accumulate(
@@ -863,7 +875,7 @@ class SchurOps:
                             )
 
                         acc0t = jnp.zeros((n_seg_c, dc_k), dtype=gdt)
-                        if Ko <= CHUNK_THRESHOLD:
+                        if Ko <= _chunk_threshold(problem):
                             acct = smvt_body(
                                 acc0t, (subo_c, rrow_o, crow_o))[:-1]
                         else:
@@ -928,7 +940,7 @@ class SchurOps:
                         )
 
                     acc0 = jnp.zeros((n_seg, dl), dtype=gdt)
-                    if K <= CHUNK_THRESHOLD:
+                    if K <= _chunk_threshold(problem):
                         acc = lu_body(acc0, (sub_c, lsel_c, lrow_c))[:-1]
                     else:
                         acc = scan_accumulate(
