@@ -62,8 +62,12 @@ def measure_floor(jax, jnp):
     return best * 1e3
 
 
-def stage_ms(jax, jnp, body, floor_ms):
-    f = jax.jit(lambda: jax.lax.fori_loop(0, STAGE_N, body, jnp.float32(0)))
+def stage_ms(jax, jnp, problem, body, floor_ms):
+    # jit_with_consts: the static index arrays ride as executable
+    # arguments — inlining them as HLO constants exceeds the remote
+    # compiler's payload limit at Venice-Final scale
+    f = problem.jit_with_consts(
+        lambda: jax.lax.fori_loop(0, STAGE_N, body, jnp.float32(0)))
     jax.block_until_ready(f())
     best = float("inf")
     for _ in range(2):
@@ -174,7 +178,12 @@ def main():
         ("schur_values", schur_body, schur_flops),
         ("solve_full", solve_body, None),
     ):
-        ms = stage_ms(jax, jnp, body, floor_ms)
+        try:
+            ms = stage_ms(jax, jnp, problem, body, floor_ms)
+        except Exception as e:  # noqa: BLE001 - stage probes are best-effort
+            log(f"stage {name:<16} FAILED: {type(e).__name__}")
+            stages[name] = dict(ms=None)
+            continue
         stages[name] = dict(ms=round(ms, 3))
         if flops:
             stages[name]["gflops"] = round(flops / (ms * 1e6 + 1e-30), 1)
