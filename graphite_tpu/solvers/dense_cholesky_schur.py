@@ -24,6 +24,11 @@ from ..schur import SchurOps, build_schur_structure, schur_values
 from .pcg_schur import SchurSolverState
 
 
+# above this pose-block count the dense interleave runs in chunks (the
+# one-shot 4-D transpose is tile-padded ~14x on d-wide minor dims)
+_DENSE_INTERLEAVE_NPB = 512
+
+
 def schur_to_dense(problem, ss, sv) -> jax.Array:
     """Dense S (dim_p x dim_p) from grouped block values.
 
@@ -53,10 +58,39 @@ def schur_to_dense(problem, ss, sv) -> jax.Array:
             [sv.s_vals[key].astype(inv_dt),
              jnp.zeros((1, d * d), dtype=inv_dt)], axis=0
         )[jnp.asarray(inv)]  # (npb*npb, d*d)
-        T = V.reshape(npb, npb, d, d)
-        T_off = jnp.where(jnp.asarray(bdiag_mask)[:, :, None, None], 0.0, T)
-        full = T + jnp.swapaxes(jnp.swapaxes(T_off, 0, 1), 2, 3)
-        return full.transpose(0, 2, 1, 3).reshape(n, n)
+        if npb <= _DENSE_INTERLEAVE_NPB:
+            T = V.reshape(npb, npb, d, d)
+            T_off = jnp.where(
+                jnp.asarray(bdiag_mask)[:, :, None, None], 0.0, T)
+            full = T + jnp.swapaxes(jnp.swapaxes(T_off, 0, 1), 2, 3)
+            return full.transpose(0, 2, 1, 3).reshape(n, n)
+
+        # Large pose counts: the (npb, d, npb, d) transpose intermediate
+        # is tile-padded ~14x on the d-wide minor dims (13.6 GB at
+        # Venice-Final) — symmetrize flat, then interleave block rows in
+        # bounded chunks.
+        mask_flat = jnp.asarray(bdiag_mask.reshape(-1, 1))
+        T_off_flat = jnp.where(mask_flat, 0.0, V)
+        # block transpose: (i,j) -> (j,i) is a (npb, npb) transpose on the
+        # flat layout; (a,b) -> (b,a) is a lane permutation of the d*d cols
+        perm = np.arange(d * d).reshape(d, d).T.reshape(-1)
+        T_t = (T_off_flat.reshape(npb, npb, d * d)
+               .swapaxes(0, 1).reshape(npb * npb, d * d)[:, perm])
+        full_flat = V + T_t  # (npb*npb, d*d), block (i,j) at i*npb+j
+
+        c = max(1, 512 // d)  # block-rows per chunk: ~(c*d, npb*d) slab
+        npb_pad = -(-npb // c) * c
+
+        def interleave(i0):
+            # out-of-range rows of the last chunk clamp (sliced off below)
+            slab = full_flat[i0 * npb + jnp.arange(c * npb)]
+            return (slab.reshape(c, npb, d, d).transpose(0, 2, 1, 3)
+                    .reshape(c * d, n))
+
+        out = jax.lax.map(
+            interleave,
+            jnp.asarray(np.arange(0, npb_pad, c, dtype=np.int64)))
+        return out.reshape(npb_pad * d, n)[:n]
 
     # General fallback: scalar scatter (small problems / mixed pose dims).
     offsets = problem.block_offsets

@@ -107,3 +107,35 @@ def test_block_jacobi_blocks_match_dense():
             np.asarray(blocks[v]).reshape(2, 2), Href[c:c + 2, c:c + 2],
             rtol=1e-10, atol=1e-12,
         )
+
+
+def test_schur_to_dense_chunked_interleave_matches():
+    """The bounded-transient dense-S build (large pose counts) is exact
+    vs the one-shot transpose path."""
+    import graphite_tpu.solvers.dense_cholesky_schur as dcs
+    from graphite_tpu.hessian import (
+        apply_damping, build_hessian_structure, compute_hessian_values)
+    from graphite_tpu.io import bal as bal_io
+    from graphite_tpu.io import synthetic
+    from graphite_tpu.linearize import linearize
+    from graphite_tpu.schur import build_schur_structure, schur_values
+
+    ds = synthetic.make_bal((30, 200, 1500), seed=0, noise=0.5)
+    g, *_ = bal_io.build_graph(ds, precision=gt.FP64_FP64)
+    problem = g.freeze()
+    lin = linearize(problem, problem.params0)
+    hs = build_hessian_structure(problem)
+    ss = build_schur_structure(problem)
+    hv = apply_damping(problem, hs,
+                       compute_hessian_values(problem, hs, lin),
+                       lin.diag, 1e-3, False)
+    sv = schur_values(problem, ss, hv)
+    S1 = np.asarray(dcs.schur_to_dense(problem, ss, sv))
+    saved = dcs._DENSE_INTERLEAVE_NPB
+    try:
+        dcs._DENSE_INTERLEAVE_NPB = 4  # force the chunked path
+        problem._cache.pop("schur_dense_map", None)
+        S2 = np.asarray(dcs.schur_to_dense(problem, ss, sv))
+    finally:
+        dcs._DENSE_INTERLEAVE_NPB = saved
+    np.testing.assert_array_equal(S1, S2)
