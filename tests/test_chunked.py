@@ -90,3 +90,19 @@ def test_chunked_matches_fused(small_chunks):
         np.asarray(ops.compose_delta(x, ops.landmark_update(lin.b, x))),
         np.asarray(dx_r), rtol=1e-10, atol=1e-12,
     )
+
+
+def test_chunk_threshold_scales_with_problem_size():
+    """Huge problems cap the fusion bound (HBM headroom — the 2^22
+    transients crash the TPU worker at Venice-Final scale; see
+    _chunk_threshold)."""
+    import graphite_tpu.schur as S
+
+    class _P:
+        dim_h = 100_000
+
+    class _PBig:
+        dim_h = 3_000_000
+
+    assert S._chunk_threshold(_P()) == S.CHUNK_THRESHOLD
+    assert S._chunk_threshold(_PBig()) == min(S.CHUNK_THRESHOLD, 1 << 19)
