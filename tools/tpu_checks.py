@@ -131,6 +131,26 @@ def main():
     finally:
         schur_mod.CHUNK_THRESHOLD = saved_threshold
 
+    # 2d. on-device blocked Cholesky vs the dense reference
+    from graphite_tpu.ops.blocked_cholesky import (
+        blocked_cho_solve, blocked_cholesky,
+    )
+
+    nn = 700  # > base size: exercises the recursion on-chip
+    A_ = rng.standard_normal((nn, nn)).astype(np.float32)
+    S_spd = jnp.asarray(A_ @ A_.T + nn * np.eye(nn, dtype=np.float32))
+    b_spd = jnp.asarray(rng.standard_normal(nn).astype(np.float32))
+    # fp32 policies run solves under 'highest' (precision.matmul_precision)
+    with jax.default_matmul_precision("highest"):
+        x_dev = np.asarray(
+            blocked_cho_solve(blocked_cholesky(S_spd), b_spd),
+            dtype=np.float64)
+    x_ref = np.linalg.solve(np.asarray(S_spd, dtype=np.float64),
+                            np.asarray(b_spd, dtype=np.float64))
+    rel_ch = np.abs(x_dev - x_ref).max() / np.abs(x_ref).max()
+    log(f"2d. blocked cholesky solve rel err: {rel_ch:.2e}")
+    assert rel_ch < 1e-4, rel_ch
+
     # 3. end-to-end LM
     from graphite_tpu.optimizers import (
         LevenbergMarquardtOptions, levenberg_marquardt,
