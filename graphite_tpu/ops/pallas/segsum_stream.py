@@ -81,8 +81,12 @@ def plan_streaming_segsum(seg_sorted: np.ndarray, num_segments: int,
         assert base <= int(w0[i]), "flush schedule would drop live rows"
         nflush[i] = kf
         bases[i] = base - kf * f  # base BEFORE this step's flushes
-    # epilogue: flush the remaining A rows (A/F blocks), one per step
-    n_extra = a // f
+    # epilogue: flush ALL remaining A rows — ceil(A/F) blocks, one per
+    # step (A = w_pad + 2F is generally not a multiple of F; flooring
+    # here would leave up to w_pad trailing live rows unwritten). The
+    # final flush block may extend past base + A, so out_alloc must
+    # cover base + n_extra*F rows.
+    n_extra = -(-a // f)
     nflush = np.concatenate([nflush, np.ones(n_extra, dtype=np.int32)])
     bases = np.concatenate(
         [bases, (base + np.arange(n_extra, dtype=np.int32) * f)
@@ -90,7 +94,7 @@ def plan_streaming_segsum(seg_sorted: np.ndarray, num_segments: int,
     )
     w0_steps = np.concatenate([w0.astype(np.int32),
                                np.zeros(n_extra, dtype=np.int32)])
-    out_alloc = base + a
+    out_alloc = base + n_extra * f
     return dict(
         feasible=True,
         k=k, k_pad=k_pad, chunk=chunk, n_chunks=n_chunks,
@@ -183,6 +187,175 @@ def _run(vals_pad, seg_pad, starts, nflush, bases, *, chunk, w_pad, f, a,
         out_shape=jax.ShapeDtypeStruct((out_alloc, d_pad), jnp.float32),
     )(starts, nflush, bases, vals_pad, seg_pad)
     return out[:num_segments, :d]
+
+
+def _expansion_onehots(m: int, kdim: int, n: int):
+    """Static 0/1 expansion matrices for the in-kernel flat block product
+    A(m,k) @ B(n,k)^T computed as ``sum_b (L @ P) * (R @ Q)`` slices.
+
+    P: (m*k, k*m*n) with P[a*k+b, b*d + a*n + dd] = 1 (d = m*n) — L @ P
+    replicates L's column (a,b) into every dd; Q: (n*k, k*m*n) with
+    Q[dd*k+b, b*d + a*n + dd] = 1. Then
+    prod[:, a*n+dd] = sum_b (L@P * R@Q)[:, b*d + a*n + dd]. Every output
+    element of the expansion matmuls is a pure copy (exactly one 1 per
+    column), and the elementwise multiply/sum runs in f32 — exact fp32
+    semantics at HIGHEST matmul precision, matching flat_block_mm_nt.
+
+    Built from traced iota comparisons (Mosaic-friendly: no vector
+    constants inside the kernel).
+    """
+    d = m * n
+    row_l = jax.lax.broadcasted_iota(jnp.int32, (m * kdim, kdim * d), 0)
+    row_r = jax.lax.broadcasted_iota(jnp.int32, (n * kdim, kdim * d), 0)
+    col_l = jax.lax.broadcasted_iota(jnp.int32, (m * kdim, kdim * d), 1)
+    col_r = jax.lax.broadcasted_iota(jnp.int32, (n * kdim, kdim * d), 1)
+    b_l, pos_l = col_l // d, col_l % d
+    b_r, pos_r = col_r // d, col_r % d
+    P = (row_l == (pos_l // n) * kdim + b_l).astype(jnp.float32)
+    Q = (row_r == (pos_r % n) * kdim + b_r).astype(jnp.float32)
+    return P, Q
+
+
+def _kernel_prod(starts_ref, nflush_ref, bases_ref, left_ref, right_ref,
+                 seg_ref, out_ref, acc_ref, sem, *, chunk, w_pad, f, a,
+                 n_chunks, m, kdim, n, d_pad):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    nf = nflush_ref[i]
+    base0 = bases_ref[i]
+
+    def flush(kf, carry):
+        copy = pltpu.make_async_copy(
+            acc_ref.at[pl.ds(0, f), :],
+            out_ref.at[pl.ds(base0 + kf * f, f), :],
+            sem,
+        )
+        copy.start()
+        copy.wait()
+        acc_ref[pl.ds(0, a - f), :] = acc_ref[pl.ds(f, a - f), :]
+        acc_ref[pl.ds(a - f, f), :] = jnp.zeros((f, d_pad), acc_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, nf, flush, 0)
+
+    @pl.when(i < n_chunks)
+    def _():
+        base = base0 + nf * f
+        w0 = starts_ref[i]
+        seg = seg_ref[:, 0]
+        d = m * n
+        # in-kernel flat block product A @ B^T via expansion matmuls
+        P, Q = _expansion_onehots(m, kdim, n)
+        lexp = jax.lax.dot_general(
+            left_ref[:].astype(jnp.float32), P,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        rexp = jax.lax.dot_general(
+            right_ref[:].astype(jnp.float32), Q,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        both = lexp * rexp  # (chunk, kdim*d)
+        prod = both[:, :d]
+        for b in range(1, kdim):
+            prod = prod + both[:, b * d:(b + 1) * d]
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (chunk, w_pad), 1)
+        onehot = (seg[:, None] - w0 == col).astype(jnp.float32)
+        partial = jax.lax.dot_general(
+            onehot, prod, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if d_pad != d:
+            partial = jnp.concatenate(
+                [partial, jnp.zeros((w_pad, d_pad - d), partial.dtype)],
+                axis=1)
+        slot = w0 - base
+        cur = acc_ref[pl.ds(slot, w_pad), :]
+        acc_ref[pl.ds(slot, w_pad), :] = cur + partial.astype(acc_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "w_pad", "f", "a", "n_chunks",
+                              "n_steps", "k_pad", "out_alloc",
+                              "num_segments", "m", "kdim", "n")
+)
+def _run_prod(left_pad, right_pad, seg_pad, starts, nflush, bases, *, chunk,
+              w_pad, f, a, n_chunks, n_steps, k_pad, out_alloc,
+              num_segments, m, kdim, n):
+    d = m * n
+    d_pad = _round_up(d, 128)
+    last = n_chunks - 1
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_prod, chunk=chunk, w_pad=w_pad, f=f, a=a,
+                          n_chunks=n_chunks, m=m, kdim=kdim, n=n,
+                          d_pad=d_pad),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec((chunk, m * kdim),
+                             lambda i, *s: (jnp.minimum(i, last), 0)),
+                pl.BlockSpec((chunk, n * kdim),
+                             lambda i, *s: (jnp.minimum(i, last), 0)),
+                pl.BlockSpec((chunk, 1),
+                             lambda i, *s: (jnp.minimum(i, last), 0)),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((a, d_pad), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((out_alloc, d_pad), jnp.float32),
+    )(starts, nflush, bases, left_pad, right_pad, seg_pad)
+    return out[:num_segments, :d]
+
+
+def streaming_segment_product_sum(left: jax.Array, right: jax.Array,
+                                  plan: dict, m: int, k: int, n: int,
+                                  seg_pad=None, starts=None, nflush=None,
+                                  bases=None) -> jax.Array:
+    """Fused flat-block-product + destination-sorted segmented reduction.
+
+    ``left`` (k_pad, m*k) and ``right`` (k_pad, n*k) are the destination-
+    sorted, pre-gathered factor rows; the kernel computes
+    ``prod = A @ B^T`` per row (flat (m*k)x(n*k) -> m*n) on the MXU *inside*
+    the streaming pass, so the (K, m*n) product buffer never exists in HBM
+    (VERDICT r2 #1: deletes both ~5.5 GB passes of the scan_map ->
+    streaming-scatter handoff at Venice-Final scale). Same rolling
+    accumulator / flush plan as `streaming_segment_sum`.
+
+    Reference parity: the fused form of the Schur triple-product +
+    atomicAdd scatter kernels (ops/schur.hpp:117-188).
+    """
+    k_pad = plan["k_pad"]
+    assert left.shape[0] == k_pad and right.shape[0] == k_pad, (
+        "pass k_pad-padded gathered rows (pad rows -> trash segment)")
+    if seg_pad is None:
+        seg_pad = jnp.asarray(plan["seg_pad_2d"])
+    if starts is None:
+        starts = jnp.asarray(plan["starts"])
+    if nflush is None:
+        nflush = jnp.asarray(plan["nflush"])
+    if bases is None:
+        bases = jnp.asarray(plan["bases"])
+    return _run_prod(
+        left, right, seg_pad, starts, nflush, bases,
+        chunk=plan["chunk"], w_pad=plan["w_pad"], f=plan["f"], a=plan["a"],
+        n_chunks=plan["n_chunks"], n_steps=plan["n_steps"],
+        k_pad=k_pad, out_alloc=plan["out_alloc"],
+        num_segments=plan["num_segments"], m=m, kdim=k, n=n,
+    ).astype(left.dtype)
 
 
 def streaming_segment_sum(values: jax.Array, plan: dict, seg_pad=None,

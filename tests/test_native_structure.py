@@ -47,8 +47,13 @@ def test_sort_unique_inverse_all_paths():
     int64, chunked pack+merge (wide keys), struct-payload fallback."""
     rng = np.random.default_rng(2)
     for codes in (
-        rng.integers(0, 1 << 22, size=300_000),      # packed
-        rng.integers(1 << 40, 1 << 41, size=300_000),  # chunked
+        rng.integers(0, 1 << 22, size=300_000),        # packed (small keys)
+        rng.integers(1 << 40, 1 << 41, size=300_000),  # packed (kb+ob<=63)
+        # chunked pack+merge: kb=43, n=2^21+5 > chunk=2^20 -> 3 chunks,
+        # genuine cross-chunk k-way merge + local->global rank remap
+        rng.integers(1 << 42, 1 << 43, size=(1 << 21) + 5),
+        # duplicate-heavy chunked case: every key repeats across chunks
+        rng.integers(1 << 42, (1 << 42) + 997, size=(1 << 21) + 5),
         rng.integers(1 << 61, 1 << 62, size=100_000),  # KV fallback
         np.asarray([5, 5, 5], dtype=np.int64),
         np.asarray([0], dtype=np.int64),

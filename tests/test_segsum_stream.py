@@ -59,6 +59,59 @@ def test_prepadded_rows_hit_trash_segment():
                                rtol=1e-5, atol=1e-4)
 
 
+def test_epilogue_flushes_trailing_partial_block():
+    """Regression: a = w_pad + 2f is generally not a multiple of f, so the
+    epilogue must flush ceil(a/f) blocks — flooring left up to w_pad
+    trailing segments uninitialized (advisor r2 high finding)."""
+    rng = np.random.default_rng(0)
+    k, ns, d, chunk = 22_997, 3_095, 81, 256
+    seg = np.sort(rng.integers(0, ns, size=k)).astype(np.int32)
+    vals = rng.standard_normal((k, d)).astype(np.float32)
+    plan = plan_streaming_segsum(seg, ns, chunk=chunk)
+    assert plan["feasible"]
+    assert plan["a"] % plan["f"] != 0  # the shape the bug needs
+    assert seg.max() == ns - 1  # live segments at the very tail
+    out = streaming_segment_sum(jnp.asarray(vals), plan)
+    ref = jax.ops.segment_sum(jnp.asarray(vals), jnp.asarray(seg),
+                              num_segments=ns)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("m,kk,n,k,ns,chunk", [
+    (9, 3, 9, 5_000, 500, 512),   # BAL camera-landmark Schur products
+    (3, 3, 3, 1_200, 80, 256),    # small blocks
+    (6, 3, 2, 900, 64, 256),      # rectangular
+])
+def test_fused_product_matches_flat_block_mm(m, kk, n, k, ns, chunk):
+    """streaming_segment_product_sum == segment_sum(flat_block_mm_nt)."""
+    from graphite_tpu.ops.blockfmt import flat_block_mm_nt
+    from graphite_tpu.ops.pallas.segsum_stream import (
+        streaming_segment_product_sum,
+    )
+
+    rng = np.random.default_rng(m * 1000 + k)
+    seg = np.sort(rng.integers(0, ns, size=k)).astype(np.int32)
+    left = rng.standard_normal((k, m * kk)).astype(np.float32)
+    right = rng.standard_normal((k, n * kk)).astype(np.float32)
+    plan = plan_streaming_segsum(seg, ns, chunk=chunk)
+    assert plan["feasible"]
+    pad = plan["k_pad"] - k
+    # finite garbage: pad-row products (1e10^2 = 1e20) must land on the
+    # trash segment and be sliced off; inf would NaN the one-hot matmul
+    garbage_l = np.full((pad, m * kk), 1e10, dtype=np.float32)
+    garbage_r = np.full((pad, n * kk), 1e10, dtype=np.float32)
+    out = streaming_segment_product_sum(
+        jnp.asarray(np.concatenate([left, garbage_l])),
+        jnp.asarray(np.concatenate([right, garbage_r])),
+        plan, m, kk, n)
+    ref = jax.ops.segment_sum(
+        flat_block_mm_nt(jnp.asarray(left), jnp.asarray(right), m, kk, n),
+        jnp.asarray(seg), num_segments=ns)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
 def test_infeasible_plan_reports():
     seg = np.arange(100_000, dtype=np.int32)  # multiplicity 1
     plan = plan_streaming_segsum(seg, 100_000, chunk=2048, vmem_rows=64)
