@@ -95,6 +95,10 @@ class LMCarry:
     num_bad: jax.Array  # consecutive low-progress accepted steps (LM2)
     run: jax.Array  # bool: keep iterating
     k: jax.Array
+    # (iterations, 4) per-iteration [chi2, mu, rho, accepted] trace for
+    # jit_loop observability parity with the reference's always-on table
+    # (levenberg_marquardt.hpp:153-163); None outside jit_loop mode.
+    trace: Any = None
 
 
 def _lm_iteration(problem, solver, options: LevenbergMarquardtOptions):
@@ -159,7 +163,11 @@ def _lm_iteration(problem, solver, options: LevenbergMarquardtOptions):
         )
 
         # LM2 early-stop bookkeeping (levenberg_marquardt.hpp:403-413).
-        low_progress = ((carry.chi2 - new_chi2) * 1.0e3) < carry.chi2
+        # The reference hard-codes the 1e3 factor; `early_stop_relative`
+        # generalizes it (default 1e-3 reproduces the reference exactly:
+        # (chi2-new)*1e3 < chi2  <=>  chi2-new < chi2*1e-3).
+        low_progress = (carry.chi2 - new_chi2) < (
+            carry.chi2 * options.early_stop_relative)
         num_bad = jnp.where(
             accept,
             jnp.where(low_progress, carry.num_bad + 1, 0),
@@ -169,6 +177,12 @@ def _lm_iteration(problem, solver, options: LevenbergMarquardtOptions):
         run = carry.run & jnp.isfinite(mu2) & (rho != 0)
         if options.early_stop_bad_steps is not None:
             run = run & (num_bad < options.early_stop_bad_steps)
+
+        trace = carry.trace
+        if trace is not None:
+            row = jnp.stack([chi2_2, mu2, rho, accept]).astype(trace.dtype)
+            trace = jax.lax.dynamic_update_slice(
+                trace, row[None, :], (carry.k, jnp.asarray(0, jnp.int32)))
 
         return LMCarry(
             params=params2,
@@ -184,6 +198,7 @@ def _lm_iteration(problem, solver, options: LevenbergMarquardtOptions):
             num_bad=num_bad,
             run=run,
             k=carry.k + 1,
+            trace=trace,
         )
 
     return step
@@ -263,6 +278,10 @@ def levenberg_marquardt(problem, solver, params=None,
                 # runtime remasking (Problem.remask).
                 step = _lm_iteration(problem, solver, options)
                 carry0 = _initial_carry_traced(problem, solver, p, options)
+                gdt = problem.precision.graph_dtype
+                carry0 = dataclasses.replace(
+                    carry0,
+                    trace=jnp.zeros((options.iterations, 4), gdt))
 
                 def cond(c):
                     return (c.k < options.iterations) & c.run
@@ -273,9 +292,29 @@ def levenberg_marquardt(problem, solver, params=None,
         initial_chi2, carry = problem._cache[key](params)
         # ONE batched device->host transfer: individual float()/int() pulls
         # each pay a full RPC round-trip on remote-attached TPUs.
-        chi2, initial_chi2, mu, k, num_accepted, run = jax.device_get(
+        chi2, initial_chi2, mu, k, num_accepted, run, trace = jax.device_get(
             (carry.chi2, initial_chi2, carry.mu, carry.k,
-             carry.num_accepted, carry.run))
+             carry.num_accepted, carry.run, carry.trace))
+        # rebuild the per-iteration table from the on-device trace (parity
+        # with the reference's always-printed table on the fast path)
+        history = []
+        prev = float(initial_chi2)
+        for i in range(int(k)):
+            c_i, mu_i, rho_i, acc_i = (float(trace[i, 0]), float(trace[i, 1]),
+                                       float(trace[i, 2]), float(trace[i, 3]))
+            history.append(
+                dict(iteration=i, chi2_before=prev, chi2=c_i, mu=mu_i,
+                     rho=rho_i, accepted=bool(acc_i), time=None))
+            prev = c_i
+        if options.verbose and history:
+            hdr = (f"{'Iteration':>12} {'Initial Chi2':>18} "
+                   f"{'Current Chi2':>18} {'Lambda':>14} {'Rho':>12}")
+            print(hdr)
+            print("-" * len(hdr))
+            for h in history:
+                print(f"{h['iteration']:>12d} {h['chi2_before']:>18.10g} "
+                      f"{h['chi2']:>18.10g} {h['mu']:>14.6g} "
+                      f"{h['rho']:>12.6g}")
         return LMResult(
             params=carry.params,
             chi2=float(chi2),
@@ -284,7 +323,7 @@ def levenberg_marquardt(problem, solver, params=None,
             iterations=int(k),
             accepted_steps=int(num_accepted),
             run_ok=bool(run),
-            history=[],
+            history=history,
         )
 
     if key not in problem._cache:

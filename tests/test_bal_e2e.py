@@ -47,6 +47,17 @@ def test_bal_jit_loop_matches_python_loop():
     _, res_jit = _optimize(DenseCholeskySchurSolver(), iters=15, jit_loop=True)
     np.testing.assert_allclose(res_jit.chi2, res_py.chi2, rtol=1e-10)
     assert res_jit.iterations == res_py.iterations
+    # jit_loop observability parity: the lax.scan-captured trace must
+    # reproduce the python-loop per-iteration history (VERDICT r2 #8)
+    assert len(res_jit.history) == len(res_py.history)
+    for hj, hp in zip(res_jit.history, res_py.history):
+        assert hj["iteration"] == hp["iteration"]
+        assert hj["accepted"] == hp["accepted"]
+        np.testing.assert_allclose(hj["chi2"], hp["chi2"], rtol=1e-10)
+        np.testing.assert_allclose(hj["chi2_before"], hp["chi2_before"],
+                                   rtol=1e-10)
+        np.testing.assert_allclose(hj["mu"], hp["mu"], rtol=1e-10)
+        np.testing.assert_allclose(hj["rho"], hp["rho"], rtol=1e-10)
 
 
 def test_bal_fp32_bf16_converges():
