@@ -169,6 +169,41 @@ def main():
                               False, params=params)
         return acc + dx[0] * 1e-30
 
+    # --- solve-breakdown probes (VERDICT r2 #2): where do the per-solve
+    # milliseconds go — b_schur, one S matvec (block-sparse and, when
+    # enabled, dense), preconditioner apply, landmark back-substitution ---
+    from graphite_tpu.hessian import apply_damping
+    from graphite_tpu.schur import SchurOps
+
+    sv0 = problem.jit_with_consts(lambda: schur_values(
+        problem, ss, apply_damping(problem, hs, hv0, lin0.diag,
+                                   jnp.asarray(1e-4, lin0.b.dtype), False)))()
+    ops0 = SchurOps(problem, ss, hv0, sv0)
+    b_s0 = problem.jit_with_consts(lambda: ops0.b_schur(lin0.b))()
+    pstate0 = problem.jit_with_consts(
+        lambda: solver.preconditioner.prepare(problem, ss, sv0))()
+
+    def bschur_body(i, acc):
+        return acc + ops0.b_schur(lin0.b + acc * 1e-30)[0] * 1e-30
+
+    def smatvec_body(i, acc):
+        return acc + ops0.s_matvec(b_s0 + acc * 1e-30)[0] * 1e-30
+
+    def dense_matvec_body(i, acc):
+        from graphite_tpu.solvers.dense_cholesky_schur import schur_to_dense
+        S = schur_to_dense(problem, ss, sv0)
+        p = b_s0 + acc * 1e-30
+        return acc + (S @ p.astype(S.dtype))[0] * 1e-30
+
+    def precond_body(i, acc):
+        y = solver.preconditioner.apply(problem, ss, pstate0,
+                                        b_s0 + acc * 1e-30)
+        return acc + y[0] * 1e-30
+
+    def backsub_body(i, acc):
+        rows = ops0.landmark_update(lin0.b, b_s0 + acc * 1e-30)
+        return acc + next(iter(rows.values()))[0, 0] * 1e-30
+
     schur_flops = (led.get("hll_inverse", 0) + led.get("hpl_w", 0)
                    + led.get("triple_products", 0))
     stages = {}
@@ -176,7 +211,14 @@ def main():
         ("linearize", lin_body, None),
         ("hessian_values", hess_body, led.get("hessian_values")),
         ("schur_values", schur_body, schur_flops),
+        ("b_schur", bschur_body, led.get("b_schur")),
+        ("s_matvec_block", smatvec_body, None),
+        ("precond_apply", precond_body, led.get("precond")),
+        ("backsub", backsub_body, led.get("backsub")),
         ("solve_full", solve_body, None),
+        # last: at Venice scale the dense build's transients can push the
+        # worker to the HBM limit — keep a crash from eating other probes
+        ("s_matvec_dense_incl_build", dense_matvec_body, None),
     ):
         try:
             ms = stage_ms(jax, jnp, problem, body, floor_ms)

@@ -504,7 +504,20 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
             # HBM next to the Hessian values.
             parts = _plan_stream_parts(problem, ss, gi, pg, ns, inv_dt)
             if parts is not None:
-                from .ops.pallas.segsum_stream import streaming_segment_sum
+                import os as _os
+
+                from .ops.pallas.segsum_stream import (
+                    streaming_segment_product_sum,
+                    streaming_segment_sum,
+                )
+
+                # fused path: the kernel computes the flat block product on
+                # the MXU inside the streaming pass, so only the two
+                # gathered (k_pad, d*k) factor buffers touch HBM — the
+                # (k_pad, dpa*dpb) product buffer of the scan_map handoff
+                # never exists (VERDICT r2 #1). Kill switch falls back to
+                # the two-pass handoff.
+                fused = not _os.environ.get("GRAPHITE_TPU_NO_FUSED_STREAM")
 
                 def prod_chunk(chunk_arrays, dpa=dpa, dl=dl, dpb=dpb,
                                Wsrc=Wsrc, Rsrc=Rsrc):
@@ -520,16 +533,13 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
                     ri = problem.const(("stream_r", gi, p), part["right"])
                     if p > 0:
                         # serialize parts: without a data dependency XLA
-                        # may schedule every part's (k_pad, dpa*dpb)
-                        # product buffer live at once (HBM OOM at
-                        # Venice-Final scale). x*0.0 is not folded for
-                        # floats (NaN semantics), so this is a real edge.
+                        # may schedule every part's per-part transient
+                        # buffers live at once (HBM OOM at Venice-Final
+                        # scale). x*0.0 is not folded for floats (NaN
+                        # semantics), so this is a real edge.
                         dep = (s_vals[key][0, 0] * 0.0).astype(li.dtype)
                         li = li + dep
-                    prod_flat = scan_map(prod_chunk, (li, ri),
-                                         plan["k_pad"], CHUNK)
-                    acc = streaming_segment_sum(
-                        prod_flat, plan,
+                    stream_consts = dict(
                         seg_pad=problem.const(("stream_seg", gi, p),
                                               plan["seg_pad_2d"]),
                         starts=problem.const(("stream_starts", gi, p),
@@ -539,6 +549,17 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
                         bases=problem.const(("stream_bases", gi, p),
                                             plan["bases"]),
                     )
+                    if fused:
+                        acc = streaming_segment_product_sum(
+                            Wsrc[li], Rsrc[ri].astype(inv_dt), plan,
+                            dpa, dl, dpb, **stream_consts,
+                        )
+                    else:
+                        prod_flat = scan_map(prod_chunk, (li, ri),
+                                             plan["k_pad"], CHUNK)
+                        acc = streaming_segment_sum(
+                            prod_flat, plan, **stream_consts,
+                        )
                     s0, ns_p = part["seg0"], plan["num_segments"]
                     s_vals[key] = (
                         s_vals[key].at[s0:s0 + ns_p].add(-acc)

@@ -53,7 +53,12 @@ class PCGSchurSolver:
     preconditioner: object = dataclasses.field(
         default_factory=BlockJacobiSchurPreconditioner
     )
-    dense_matvec_limit: int = 8192
+    dense_matvec_limit: int = 16384
+    # below this dim_p the WHOLE PCG loop runs as one VMEM-resident Pallas
+    # kernel (S, dense block-Jacobi M and all CG vectors on-chip; zero
+    # per-iteration dispatch) — the fix for the launch-bound small-problem
+    # regime (BENCHMARKS.md roofline). 0 disables.
+    fused_pcg_limit: int = 1024
 
     def prepare(self, problem, lin: Linearization, params=None):
         hs = build_hessian_structure(problem)
@@ -81,6 +86,25 @@ class PCGSchurSolver:
             from .dense_cholesky_schur import schur_to_dense
 
             S = schur_to_dense(problem, ss, sv)
+
+            from ..schur import _use_pallas
+
+            if (ss.dim_p <= self.fused_pcg_limit
+                    and _use_pallas(problem, S.dtype)
+                    and isinstance(self.preconditioner,
+                                   BlockJacobiSchurPreconditioner)):
+                from ..ops.pallas.pcg_dense import dense_pcg
+                from ..preconditioners.block_jacobi_schur import (
+                    dense_preconditioner_matrix,
+                )
+
+                M = dense_preconditioner_matrix(problem, ss, pstate, S.dtype)
+                dx_p = dense_pcg(
+                    S, M, b_s, max_iter=self.max_iter, tol=self.tol,
+                    rejection_ratio=self.rejection_ratio,
+                ).astype(gdt)
+                dx_l_rows = ops.landmark_update(lin.b, dx_p)
+                return ops.compose_delta(dx_p, dx_l_rows), jnp.asarray(True)
 
             def matvec(p):
                 return (S @ p.astype(S.dtype)).astype(gdt)
