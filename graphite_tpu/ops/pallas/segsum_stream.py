@@ -189,6 +189,81 @@ def _run(vals_pad, seg_pad, starts, nflush, bases, *, chunk, w_pad, f, a,
     return out[:num_segments, :d]
 
 
+def plan_streaming_segsum_common(seg_slices, ns_list, chunk: int = 2048,
+                                 flush_mult: int = 16,
+                                 vmem_rows: int = 8192):
+    """Per-slice streaming plans with COMMON kernel geometry.
+
+    For SPMD execution (shard_map) every device runs the same program, so
+    the pallas_call statics (chunk, w_pad, f, a, k_pad, n_steps,
+    out_alloc) must be equal across devices while the flush schedules
+    (starts/nflush/bases) and segment ids remain per-device runtime
+    arrays. Returns (plans, geometry) where each plan's arrays share the
+    geometry's shapes, or (None, None) if any slice is infeasible.
+
+    seg_slices: list of destination-sorted LOCAL segment id arrays (one
+    per device, already rebased to each device's first segment);
+    ns_list[i] = number of live segments of slice i.
+    """
+    n = len(seg_slices)
+    k_pad = max(max((s.shape[0] for s in seg_slices), default=0), chunk)
+    k_pad = _round_up(k_pad, chunk)
+    n_chunks = k_pad // chunk
+    # common window: max over slices of the per-slice span requirement
+    w_pad = 8
+    padded = []
+    for seg, ns in zip(seg_slices, ns_list):
+        seg_p = np.concatenate(
+            [seg, np.full(k_pad - seg.shape[0], ns, dtype=np.int64)]
+        ).astype(np.int64)
+        padded.append(seg_p)
+        first = seg_p[::chunk]
+        last = seg_p[chunk - 1::chunk]
+        w0 = (first // 8) * 8
+        w_pad = max(w_pad, _round_up(int((last - w0).max()) + 1, 8))
+    f_cap = ((vmem_rows - w_pad) // 2) // 8 * 8
+    if f_cap < 8:
+        return None, None
+    f = min(_round_up(flush_mult * w_pad, 8), f_cap)
+    a = w_pad + 2 * f
+    n_extra = -(-a // f)
+    n_steps = n_chunks + n_extra
+
+    plans = []
+    out_alloc = 0
+    for seg_p, ns in zip(padded, ns_list):
+        first = seg_p[::chunk]
+        w0 = ((first // 8) * 8).astype(np.int64)
+        nflush = np.zeros(n_chunks, dtype=np.int32)
+        bases = np.zeros(n_chunks, dtype=np.int32)
+        base = 0
+        for i in range(n_chunks):
+            need = int(w0[i]) + w_pad - a - base
+            kf = max(0, -(-need // f))
+            base += kf * f
+            assert base <= int(w0[i]), "flush schedule would drop live rows"
+            nflush[i] = kf
+            bases[i] = base - kf * f
+        nflush = np.concatenate([nflush, np.ones(n_extra, dtype=np.int32)])
+        bases = np.concatenate(
+            [bases, (base + np.arange(n_extra, dtype=np.int32) * f)
+             .astype(np.int32)])
+        starts = np.concatenate([w0.astype(np.int32),
+                                 np.zeros(n_extra, dtype=np.int32)])
+        out_alloc = max(out_alloc, base + n_extra * f)
+        plans.append(dict(
+            feasible=True, k=int((seg_p < ns).sum()), k_pad=k_pad,
+            chunk=chunk, n_chunks=n_chunks, n_steps=n_steps, w_pad=w_pad,
+            f=f, a=a, num_segments=ns, starts=starts, nflush=nflush,
+            bases=bases, seg_pad_2d=seg_p.astype(np.int32).reshape(k_pad, 1),
+        ))
+    for p in plans:
+        p["out_alloc"] = out_alloc
+    geometry = dict(chunk=chunk, w_pad=w_pad, f=f, a=a, k_pad=k_pad,
+                    n_chunks=n_chunks, n_steps=n_steps, out_alloc=out_alloc)
+    return plans, geometry
+
+
 def _expansion_onehots(m: int, kdim: int, n: int):
     """Static 0/1 expansion matrices for the in-kernel flat block product
     A(m,k) @ B(n,k)^T computed as ``sum_b (L @ P) * (R @ Q)`` slices.
@@ -213,6 +288,23 @@ def _expansion_onehots(m: int, kdim: int, n: int):
     b_r, pos_r = col_r // d, col_r % d
     P = (row_l == (pos_l // n) * kdim + b_l).astype(jnp.float32)
     Q = (row_r == (pos_r % n) * kdim + b_r).astype(jnp.float32)
+    return P, Q
+
+
+def _expansion_onehots_slice(m: int, kdim: int, n: int, b: int):
+    """One contraction slice of `_expansion_onehots`: P_b (m*k, m*n) with
+    P_b[a*k+b, a*n+dd] = 1 and Q_b (n*k, m*n) with Q_b[dd*k+b, a*n+dd] = 1,
+    so prod = sum_b (L @ P_b) * (R @ Q_b). Slicing keeps the kernel's
+    VMEM temporaries at (chunk, m*n) instead of (chunk, k*m*n) — the
+    difference between fitting and blowing the scoped-VMEM limit at
+    Venice-Final scale."""
+    d = m * n
+    row_l = jax.lax.broadcasted_iota(jnp.int32, (m * kdim, d), 0)
+    row_r = jax.lax.broadcasted_iota(jnp.int32, (n * kdim, d), 0)
+    col_l = jax.lax.broadcasted_iota(jnp.int32, (m * kdim, d), 1)
+    col_r = jax.lax.broadcasted_iota(jnp.int32, (n * kdim, d), 1)
+    P = (row_l == (col_l // n) * kdim + b).astype(jnp.float32)
+    Q = (row_r == (col_r % n) * kdim + b).astype(jnp.float32)
     return P, Q
 
 
@@ -248,24 +340,25 @@ def _kernel_prod(starts_ref, nflush_ref, bases_ref, left_ref, right_ref,
         w0 = starts_ref[i]
         seg = seg_ref[:, 0]
         d = m * n
-        # in-kernel flat block product A @ B^T via expansion matmuls
-        P, Q = _expansion_onehots(m, kdim, n)
-        lexp = jax.lax.dot_general(
-            left_ref[:].astype(jnp.float32), P,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        rexp = jax.lax.dot_general(
-            right_ref[:].astype(jnp.float32), Q,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        both = lexp * rexp  # (chunk, kdim*d)
-        prod = both[:, :d]
-        for b in range(1, kdim):
-            prod = prod + both[:, b * d:(b + 1) * d]
+        # in-kernel flat block product A @ B^T via per-slice expansion
+        # matmuls (bounded (chunk, d) temporaries)
+        left = left_ref[:].astype(jnp.float32)
+        right = right_ref[:].astype(jnp.float32)
+        prod = None
+        for b in range(kdim):
+            P, Q = _expansion_onehots_slice(m, kdim, n, b)
+            lexp = jax.lax.dot_general(
+                left, P, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            rexp = jax.lax.dot_general(
+                right, Q, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            term = lexp * rexp
+            prod = term if prod is None else prod + term
 
         col = jax.lax.broadcasted_iota(jnp.int32, (chunk, w_pad), 1)
         onehot = (seg[:, None] - w0 == col).astype(jnp.float32)

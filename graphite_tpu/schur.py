@@ -427,46 +427,86 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
     # Inside a factor-sharded shard_map with a known mesh size, the triple
     # products — the dominant stage at scale (schur.hpp:484-585: the work
     # lists are already grouped; we shard the groups) — are partitioned
-    # across devices: each device computes a 1/n slice of every group's
-    # pair products and partial segment-sums; ONE psum per destination
-    # group combines them. Everything upstream (psum'd H values, Hll^{-1},
-    # W) is replicated and cheap by comparison.
+    # across devices BY DESTINATION RANGE: the pair list is dst-sorted, so
+    # segment-aligned contiguous slices give each device ~K/n products
+    # whose outputs land in a disjoint S-block range. Each device reduces
+    # only its own range (with the streaming Pallas kernel when feasible —
+    # SPMD-common geometry, per-device flush schedules), and ONE
+    # all-gather of the disjoint slices replaces the former full
+    # (ns+1, d*d)-accumulator psum per group — at Venice scale that psum
+    # re-introduced exactly the HBM/ICI traffic the streaming kernel
+    # exists to kill. Everything upstream (psum'd H values, Hll^{-1}, W)
+    # is replicated and cheap by comparison.
     nsh = problem.psum_size if problem.psum_axis is not None else None
     if nsh is not None and nsh > 1:
-        prod_acc: Dict[Tuple[int, int], jax.Array] = {}
         for gi, pg in enumerate(ss.products):
             dpa, dl, dpb = pg["dims"]
             key = pg["dst_key"]
             ns = ss.s_sizes[key]
-            K = pg["dst"].shape[0]
-            Kl = -(-K // nsh)  # rows per device
-            pad = Kl * nsh - K
+            sp = _plan_sharded_partition(problem, gi, pg, nsh)
+            geom = sp["geom"]
+            k_pad = sp["k_pad"]
+            ns_max = sp["ns_max"]
+            i_dev = jax.lax.axis_index(problem.psum_axis)
 
-            def padded(name, arr, fill):
-                return problem.const(
-                    ("prod_pad", name, gi, nsh),
-                    np.concatenate([arr, np.full(pad, fill, arr.dtype)])
-                    if pad else arr,
-                )
+            def dev_row(name, arr, i_dev=i_dev, gi=gi):
+                c = problem.const(("shstream", name, gi, nsh), arr)
+                return jax.lax.dynamic_index_in_dim(
+                    c, i_dev, 0, keepdims=False)
 
-            left_p = padded("l", pg["left"], 0)
-            right_p = padded("r", pg["right"], 0)
-            dst_p = padded("d", pg["dst"], ns)  # padding -> trash segment
-            i0 = jax.lax.axis_index(problem.psum_axis) * Kl
-            li = jax.lax.dynamic_slice_in_dim(left_p, i0, Kl, 0)
-            ri = jax.lax.dynamic_slice_in_dim(right_p, i0, Kl, 0)
-            di = jax.lax.dynamic_slice_in_dim(dst_p, i0, Kl, 0)
+            li = dev_row("l", sp["left"])
+            ri = dev_row("r", sp["right"])
+            segd = dev_row("seg", sp["seg"])  # (k_pad, 1)
             Wsrc = hpl_w[pg["left_key"]]
             Rsrc = hvals[pg["right_key"]]
-            prod_flat = flat_block_mm_nt(
-                Wsrc[li], Rsrc[ri].astype(inv_dt), dpa, dl, dpb,
-                acc_dtype=inv_dt,
-            )
-            part = jax.ops.segment_sum(prod_flat, di, num_segments=ns + 1)
-            prev = prod_acc.get(key)
-            prod_acc[key] = part if prev is None else prev + part
-        for key, acc in prod_acc.items():
-            s_vals[key] = s_vals[key] - problem.allreduce(acc)[:ss.s_sizes[key]]
+
+            use_kernel = geom is not None and _use_pallas(
+                problem, inv_dt, sharded_ok=True)
+            if use_kernel:
+                from .ops.pallas.segsum_stream import (
+                    streaming_segment_product_sum,
+                )
+
+                plan = dict(geom, num_segments=ns_max)
+                local = streaming_segment_product_sum(
+                    Wsrc[li], Rsrc[ri].astype(inv_dt), plan, dpa, dl, dpb,
+                    seg_pad=segd,
+                    starts=dev_row("starts", sp["starts"]),
+                    nflush=dev_row("nflush", sp["nflush"]),
+                    bases=dev_row("bases", sp["bases"]),
+                )
+            else:
+                di = segd[:, 0].astype(jnp.int32)
+
+                def part_body(carry, chunk_arrays, dpa=dpa, dl=dl, dpb=dpb,
+                              Wsrc=Wsrc, Rsrc=Rsrc, ns_max=ns_max):
+                    lc, rc, dc = chunk_arrays
+                    prod = flat_block_mm_nt(
+                        Wsrc[lc], Rsrc[rc].astype(inv_dt), dpa, dl, dpb,
+                        acc_dtype=inv_dt,
+                    )
+                    return carry + jax.ops.segment_sum(
+                        prod, dc, num_segments=ns_max + 1)
+
+                acc0 = jnp.zeros((ns_max + 1, dpa * dpb), dtype=inv_dt)
+                if k_pad <= _chunk_threshold(problem):
+                    local = part_body(acc0, (li, ri, di))[:ns_max]
+                else:
+                    local = scan_accumulate(
+                        part_body, (li, ri, di), k_pad, CHUNK, acc0,
+                        fills=[0, 0, ns_max],
+                    )[:ns_max]
+
+            # disjoint-slice combine: all devices receive every device's
+            # ns_max-row slice once (half the traffic of a ring psum over
+            # the full group) and place it at its static offset
+            gathered = jax.lax.all_gather(local, problem.psum_axis)
+            for d in range(nsh):
+                ns_d = sp["ns_list"][d]
+                if ns_d:
+                    s0 = sp["seg0"][d]
+                    s_vals[key] = s_vals[key].at[s0:s0 + ns_d].add(
+                        -gathered[d, :ns_d])
         return SchurValues(hll_inv=hll_inv, s_vals=s_vals)
 
     for gi, pg in enumerate(ss.products):
@@ -590,6 +630,76 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
     return SchurValues(hll_inv=hll_inv, s_vals=s_vals)
 
 
+def _plan_sharded_partition(problem, gi, pg, nsh):
+    """Freeze-time plan (cached) for the dst-partitioned sharded product
+    stage: segment-aligned contiguous per-device pair ranges (≈ K/nsh
+    rows each), per-device gather/segment arrays padded to a common
+    k_pad, and — when feasible — a common streaming-kernel geometry with
+    per-device flush schedules (SPMD: statics equal across devices)."""
+    cache = problem._cache.setdefault("sharded_stream_plans", {})
+    ck = (gi, nsh)
+    if ck in cache:
+        return cache[ck]
+    from .ops.pallas.segsum_stream import plan_streaming_segsum_common
+
+    dst = pg["dst"]
+    K = dst.shape[0]
+    bounds = [0]
+    for p in range(1, nsh):
+        idx = p * (K // nsh)
+        # align down to a segment boundary so ranges never split a segment
+        idx = int(np.searchsorted(dst, dst[min(idx, max(K - 1, 0))],
+                                  side="left"))
+        bounds.append(max(idx, bounds[-1]))
+    bounds.append(K)
+
+    seg_slices, ns_list, seg0s, lefts, rights, rows = [], [], [], [], [], []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        if hi > lo:
+            seg0 = int(dst[lo])
+            ns_d = int(dst[hi - 1]) - seg0 + 1
+        else:
+            seg0, ns_d = 0, 0
+        seg_slices.append(dst[lo:hi].astype(np.int64) - seg0)
+        ns_list.append(ns_d)
+        seg0s.append(seg0)
+        lefts.append(pg["left"][lo:hi])
+        rights.append(pg["right"][lo:hi])
+        rows.append(hi - lo)
+
+    plans, geom = plan_streaming_segsum_common(seg_slices, ns_list,
+                                               chunk=1024)
+    if plans is not None:
+        k_pad = geom["k_pad"]
+        seg = np.stack([p["seg_pad_2d"] for p in plans])
+        starts = np.stack([p["starts"] for p in plans])
+        nflush = np.stack([p["nflush"] for p in plans])
+        bases = np.stack([p["bases"] for p in plans])
+    else:
+        k_pad = max(max(rows), 1)
+        k_pad = ((k_pad + 2047) // 2048) * 2048
+        seg = np.stack([
+            np.concatenate([s, np.full(k_pad - s.shape[0], n,
+                                       dtype=np.int64)])
+            .astype(np.int32).reshape(k_pad, 1)
+            for s, n in zip(seg_slices, ns_list)])
+        starts = nflush = bases = None
+
+    def stackpad(arrs, fill):
+        out = np.full((nsh, k_pad), fill, dtype=np.int32)
+        for i, a in enumerate(arrs):
+            out[i, :a.shape[0]] = a
+        return out
+
+    cache[ck] = dict(
+        geom=geom, k_pad=k_pad, ns_max=max(ns_list), ns_list=ns_list,
+        seg0=seg0s, rows=rows, left=stackpad(lefts, 0),
+        right=stackpad(rights, 0), seg=seg, starts=starts, nflush=nflush,
+        bases=bases,
+    )
+    return cache[ck]
+
+
 # rows per streaming-scatter part: bounds the (rows, dpa*dpb) product
 # transient to ~0.7 GB f32 at 9x9 blocks
 STREAM_PART_ROWS = 1 << 21
@@ -628,7 +738,10 @@ def _plan_stream_parts(problem, ss, gi, pg, ns, inv_dt):
         seg0 = int(dst[lo])
         seg_rel = (dst[lo:hi].astype(np.int64) - seg0).astype(np.int32)
         ns_p = int(dst[hi - 1]) - seg0 + 1
-        plan = plan_streaming_segsum(seg_rel, ns_p, chunk=2048)
+        # chunk 1024: the fused product kernel's (chunk, d)-sized VMEM
+        # temporaries at 2048 blow the 16 MB scoped-VMEM limit at
+        # Venice-Final scale (measured: 18.8 MB)
+        plan = plan_streaming_segsum(seg_rel, ns_p, chunk=1024)
         if not plan["feasible"]:
             feasible = False
             break
@@ -643,13 +756,16 @@ def _plan_stream_parts(problem, ss, gi, pg, ns, inv_dt):
     return cache[gi]
 
 
-def _use_pallas(problem, dtype) -> bool:
+def _use_pallas(problem, dtype, sharded_ok: bool = False) -> bool:
     import os
 
     if os.environ.get("GRAPHITE_TPU_NO_PALLAS"):
         return False
-    if problem.psum_axis is not None:
-        return False  # inside shard_map: keep the portable path
+    if problem.psum_axis is not None and not sharded_ok:
+        # inside shard_map most kernels keep the portable path; the
+        # dst-partitioned product stage passes sharded_ok (its plan is
+        # SPMD-uniform by construction)
+        return False
     return (jax.default_backend() not in ("cpu",)
             and jnp.dtype(dtype) == jnp.dtype(jnp.float32))
 

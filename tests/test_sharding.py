@@ -159,6 +159,85 @@ def test_sharded_schur_values_match_single_device(mesh):
         )
 
 
+def test_sharded_schur_dst_partition_streaming(mesh, monkeypatch):
+    """The dst-partitioned sharded product stage (VERDICT r2 #4): each
+    device owns a contiguous, segment-aligned ~K/8 slice of the pair
+    list, reduces it with the STREAMING kernel (interpret mode here), and
+    the disjoint-slice all-gather reassembly matches single-device."""
+    import functools
+
+    import graphite_tpu.ops.pallas.segsum_stream as ss_mod
+    import graphite_tpu.schur as schur_mod
+    from jax.sharding import PartitionSpec as P
+
+    from graphite_tpu.hessian import (
+        apply_damping,
+        build_hessian_structure,
+        compute_hessian_values,
+    )
+    from graphite_tpu.parallel.sharding import data_specs, shard_map
+    from graphite_tpu.schur import build_schur_structure, schur_values
+
+    monkeypatch.setattr(
+        ss_mod.pl, "pallas_call",
+        functools.partial(jax.experimental.pallas.pallas_call,
+                          interpret=True))
+    # kernel ON inside shard_map only (reference stays on the XLA path)
+    monkeypatch.setattr(
+        schur_mod, "_use_pallas",
+        lambda problem, dtype, sharded_ok=False: sharded_ok)
+    ss_mod._run_prod.clear_cache()
+
+    ds = synthetic.make_bal((10, 400, 3000), seed=5, noise=0.5)
+    g, *_ = bal_io.build_graph(ds, precision=gt.FP32_FP32)
+    problem = g.freeze(pad_factors_to=N_DEV)
+    hs = build_hessian_structure(problem)
+    ss = build_schur_structure(problem)
+    lin = linearize(problem, problem.params0)
+    hv = apply_damping(problem, hs, compute_hessian_values(problem, hs, lin),
+                       lin.diag, 1e-3, False)
+    sv_ref = schur_values(problem, ss, hv)
+
+    pspec = jax.tree.map(lambda _: P(), problem.params0)
+
+    def local(data, params):
+        p = problem.shard_replica(data, "factors", n_devices=N_DEV)
+        lin_l = linearize(p, params)
+        hv_l = apply_damping(
+            p, hs, compute_hessian_values(p, hs, lin_l), lin_l.diag,
+            1e-3, False)
+        return schur_values(p, ss, hv_l).s_vals
+
+    f = jax.jit(shard_map(
+        local, mesh,
+        in_specs=(data_specs(problem), pspec),
+        out_specs=jax.tree.map(lambda _: P(), sv_ref.s_vals),
+    ))
+    s_vals = f(shard_data(problem, mesh), problem.params0)
+    for k in sv_ref.s_vals:
+        np.testing.assert_allclose(
+            np.asarray(s_vals[k]), np.asarray(sv_ref.s_vals[k]),
+            rtol=2e-4, atol=1e-3,
+        )
+
+    # the partition plan was built, is streaming-feasible, and balances
+    # rows across devices (segment-aligned: bounded skew)
+    plans = problem._cache["sharded_stream_plans"]
+    assert plans, "dst-partitioned plan not built"
+    for sp in plans.values():
+        assert sp["geom"] is not None, "streaming geometry infeasible"
+        rows = np.asarray(sp["rows"])
+        K = rows.sum()
+        assert rows.max() <= 2 * K / N_DEV
+        assert (rows > 0).sum() >= N_DEV - 1
+        # disjoint, ordered destination ranges
+        seg0 = np.asarray(sp["seg0"])
+        ends = seg0 + np.asarray(sp["ns_list"])
+        live = np.asarray(sp["ns_list"]) > 0
+        assert np.all(np.diff(seg0[live]) > 0)
+        assert np.all(seg0[live][1:] >= ends[live][:-1])
+
+
 def test_sharded_lm_multi_iteration_nonmini(mesh):
     """Sharded LM on a non-mini problem for >= 3 iterations (PCG-Schur),
     agreeing with the single-device trajectory."""
