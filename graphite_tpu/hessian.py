@@ -594,6 +594,52 @@ def csc_values(problem, hs: HessianStructure, values: HessianValues) -> jax.Arra
     return out[: hs.nnz]
 
 
+def dense_hessian_matrix(problem, hs: HessianStructure,
+                         values: HessianValues) -> jax.Array:
+    """Traced dense (dim_h, dim_h) H from block values — feeds the
+    on-device direct factorization path (the TPU analog of cudss's
+    full-matrix factorization, cudss.hpp:53-269; here the matrix is
+    densified block-wise and factorized by the HBM-resident blocked
+    Cholesky whose panels stream through VMEM — the hybrid-memory
+    analog). Upper-tri block storage is mirrored on scatter."""
+    n = problem.dim_h
+    acc = problem.precision.inv_dtype
+    cache = problem._cache
+    if "dense_h_idx" not in cache:
+        offsets = problem.block_offsets
+        out = {}
+        for gi, key in enumerate(hs.group_keys):
+            dr, dc = key
+            sel = np.nonzero(hs.group_of_block == gi)[0]
+            sel = sel[np.argsort(hs.index_in_group[sel], kind="stable")]
+            r0 = offsets[hs.block_rows[sel]]
+            c0 = offsets[hs.block_cols[sel]]
+            idx = ((r0[:, None, None] + np.arange(dr)[None, :, None]) * n
+                   + c0[:, None, None] + np.arange(dc)[None, None, :])
+            off = hs.block_rows[sel] != hs.block_cols[sel]
+            o = np.nonzero(off)[0]
+            idx_t = ((c0[o][:, None, None]
+                      + np.arange(dc)[None, None, :]) * n
+                     + r0[o][:, None, None] + np.arange(dr)[None, :, None])
+            out[key] = (idx.reshape(sel.shape[0], dr * dc).astype(np.int32),
+                        o.astype(np.int32),
+                        idx_t.reshape(o.shape[0], dr * dc).astype(np.int32))
+        cache["dense_h_idx"] = out
+    h = jnp.zeros((n * n,), dtype=acc)
+    for key, (idx, o, idx_t) in cache["dense_h_idx"].items():
+        # value groups carry a trailing TRASH row (masked contributions);
+        # only the first K real-block rows scatter into H
+        v = values[key][: idx.shape[0]].astype(acc)
+        h = h.at[problem.const(("dense_h", key), idx).reshape(-1)].add(
+            v.reshape(-1))
+        if o.shape[0]:
+            vo = v[problem.const(("dense_h_o", key), o)]
+            h = h.at[
+                problem.const(("dense_h_t", key), idx_t).reshape(-1)
+            ].add(vo.reshape(-1))
+    return h.reshape(n, n)
+
+
 def hessian_to_dense(problem, hs: HessianStructure,
                      values: HessianValues) -> np.ndarray:
     """Dense reconstruction for tests/oracles."""

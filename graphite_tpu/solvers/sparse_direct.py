@@ -1,12 +1,19 @@
-"""Host sparse direct solver (SciPy) via ``jax.pure_callback``.
+"""Direct solver on the FULL system H dx = b.
 
-TPU-native analog of ``EigenLDLTSolver`` (reference: solver/eigen.hpp:12-99,
-src/eigen_solver.cpp:8-103): there is no TPU sparse direct factorization, so
-— exactly like the reference's CPU Eigen fallback, which copies CSC values
-host-side each iteration (eigen.hpp:41-44) — the scalar CSC values are
-assembled on device (one scatter) and factorized/solved on the host CPU.
-The factorization uses scipy's sparse LU (SuperLU); a Cholesky (CHOLMOD via
-scikit-sparse) is used instead when available.
+Two paths, mirroring the reference's two full-matrix direct solvers:
+
+- **On-device** (TPU default, ``cudssSolver`` analog, cudss.hpp:53-269):
+  block values are densified into (dim_h, dim_h) and factorized by the
+  recursive blocked Cholesky (ops/blocked_cholesky.py) — the matrix
+  stays HBM-resident and only panel tiles stream through VMEM, the TPU
+  analog of cudss's hybrid-memory mode (cudss.hpp:112-127). Gated on
+  ``on_device_limit`` (dense dim_h x dim_h storage). Required on the
+  axon TPU runtime, which does not support host callbacks at all.
+- **Host callback** (CPU backend, ``EigenLDLTSolver`` analog,
+  eigen.hpp:12-99, src/eigen_solver.cpp:8-103): scalar CSC values are
+  assembled on device (one scatter) and factorized host-side with
+  scipy's sparse LU per solve — exactly the reference's
+  CPU-copy-per-iteration design (eigen.hpp:41-44).
 
 Failure semantics: non-finite solve => ok=False => LM rejects the step
 (levenberg_marquardt.hpp:181-183).
@@ -56,6 +63,20 @@ def _host_sparse_solve(indptr, indices, dim):
 
 @dataclasses.dataclass(frozen=True)
 class SparseDirectSolver:
+    # above this dim_h the dense on-device factorization is skipped
+    # (dim_h^2 storage); 8192 -> 256 MB f32
+    on_device_limit: int = 8192
+    # None: on-device on TPU (host callbacks unavailable there), host
+    # callback on CPU. True/False forces.
+    on_device: object = None
+
+    def _on_device(self, problem) -> bool:
+        if problem.dim_h > self.on_device_limit:
+            return False
+        if self.on_device is not None:
+            return bool(self.on_device)
+        return jax.default_backend() != "cpu"
+
     def prepare(self, problem, lin: Linearization, params=None):
         hs = build_hessian_structure(problem)
         return SparseDirectState(
@@ -68,6 +89,29 @@ class SparseDirectSolver:
         hs = build_hessian_structure(problem)
         hv = apply_damping(problem, hs, state.hvals, lin.diag, damping,
                            use_identity)
+
+        if self._on_device(problem):
+            from ..hessian import dense_hessian_matrix
+
+            H = dense_hessian_matrix(problem, hs, hv)
+            b = lin.b[: problem.dim_h].astype(H.dtype)
+            if problem.dim_h >= 1024:
+                from ..ops.blocked_cholesky import (
+                    blocked_cho_solve,
+                    blocked_cholesky,
+                )
+
+                L = blocked_cholesky(H)
+                x = blocked_cho_solve(L, b)
+            else:
+                L, low = jax.scipy.linalg.cho_factor(H, lower=True)
+                x = jax.scipy.linalg.cho_solve((L, low), b)
+            ok = jnp.all(jnp.isfinite(x))
+            x = jnp.where(ok, x, 0.0).astype(gdt)
+            out = jnp.zeros(problem.dim_x, dtype=gdt)
+            out = out.at[: problem.dim_h].set(x)
+            return out, ok
+
         vals = csc_values(problem, hs, hv).astype(gdt)
         b = lin.b[: problem.dim_h].astype(gdt)
         solve = _host_sparse_solve(hs.csc_indptr, hs.csc_indices,

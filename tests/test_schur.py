@@ -128,10 +128,14 @@ def test_full_vs_schur_direct_agreement():
     x_schur = _solve_with(problem, lin, DenseCholeskySchurSolver())
     x_sp = _solve_with(problem, lin, SparseDirectSolver())
     x_sps = _solve_with(problem, lin, SparseDirectSchurSolver())
+    # on-device full-H dense path (forced on this CPU backend): the TPU
+    # default where host callbacks do not exist (cudss.hpp:53-269 analog)
+    x_dev = _solve_with(problem, lin, SparseDirectSolver(on_device=True))
     atol = 1e-8 * max(1.0, np.abs(x_full).max())
     np.testing.assert_allclose(x_schur, x_full, rtol=1e-8, atol=atol)
     np.testing.assert_allclose(x_sp, x_full, rtol=1e-8, atol=atol)
     np.testing.assert_allclose(x_sps, x_full, rtol=1e-8, atol=atol)
+    np.testing.assert_allclose(x_dev, x_full, rtol=1e-8, atol=atol)
 
 
 def test_pcg_schur_vs_direct():
