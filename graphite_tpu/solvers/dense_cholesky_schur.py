@@ -47,43 +47,49 @@ def schur_to_dense(problem, ss, sv) -> jax.Array:
         npb = ss.n_pose_blocks
         cache_key = "schur_dense_map"
         if cache_key not in problem._cache:
+            ns_g = ss.s_sizes[key]
             pair = ss.s_rows[key] * npb + ss.s_cols[key]
-            inv = np.full(npb * npb, ss.s_sizes[key], dtype=np.int32)
-            inv[pair] = np.arange(ss.s_sizes[key], dtype=np.int32)
-            bdiag_mask = np.zeros((npb, npb), dtype=bool)
-            np.fill_diagonal(bdiag_mask, True)
-            problem._cache[cache_key] = (inv, bdiag_mask)
-        inv, bdiag_mask = problem._cache[cache_key]
-        V = jnp.concatenate(
+            inv = np.full(npb * npb, ns_g, dtype=np.int32)
+            inv[pair] = np.arange(ns_g, dtype=np.int32)
+            # transposed-copy gather: block (i,j) also receives block
+            # (j,i)^T; diagonal pairs point at the zero row so no mask is
+            # needed at apply time
+            inv_t = inv.reshape(npb, npb).T.reshape(-1).copy()
+            inv_t[np.arange(npb) * npb + np.arange(npb)] = ns_g
+            problem._cache[cache_key] = (inv, inv_t)
+        inv, inv_t = problem._cache[cache_key]
+        s_pad = jnp.concatenate(
             [sv.s_vals[key].astype(inv_dt),
              jnp.zeros((1, d * d), dtype=inv_dt)], axis=0
-        )[jnp.asarray(inv)]  # (npb*npb, d*d)
-        if npb <= _DENSE_INTERLEAVE_NPB:
-            T = V.reshape(npb, npb, d, d)
-            T_off = jnp.where(
-                jnp.asarray(bdiag_mask)[:, :, None, None], 0.0, T)
-            full = T + jnp.swapaxes(jnp.swapaxes(T_off, 0, 1), 2, 3)
-            return full.transpose(0, 2, 1, 3).reshape(n, n)
-
-        # Large pose counts: the (npb, d, npb, d) transpose intermediate
-        # is tile-padded ~14x on the d-wide minor dims (13.6 GB at
-        # Venice-Final) — symmetrize flat, then interleave block rows in
-        # bounded chunks.
-        mask_flat = jnp.asarray(bdiag_mask.reshape(-1, 1))
-        T_off_flat = jnp.where(mask_flat, 0.0, V)
-        # block transpose: (i,j) -> (j,i) is a (npb, npb) transpose on the
-        # flat layout; (a,b) -> (b,a) is a lane permutation of the d*d cols
+        )
         perm = np.arange(d * d).reshape(d, d).T.reshape(-1)
-        T_t = (T_off_flat.reshape(npb, npb, d * d)
-               .swapaxes(0, 1).reshape(npb * npb, d * d)[:, perm])
-        full_flat = V + T_t  # (npb*npb, d*d), block (i,j) at i*npb+j
+        if npb <= _DENSE_INTERLEAVE_NPB:
+            full = (s_pad[jnp.asarray(inv)]
+                    + s_pad[jnp.asarray(inv_t)][:, jnp.asarray(perm)])
+            return (full.reshape(npb, npb, d, d)
+                    .transpose(0, 2, 1, 3).reshape(n, n))
 
-        c = max(1, 512 // d)  # block-rows per chunk: ~(c*d, npb*d) slab
+        # Large pose counts: build slab-by-slab. Gathering the full
+        # (npb^2, d*d) pair grid plus its transposed copy materializes
+        # ~3 GB of transients at Venice-Final scale next to an LM loop
+        # already at the HBM limit (measured OOM); per-slab gathers keep
+        # the peak at the (n, n) output + one ~(c*npb, d*d) slab.
+        c = max(1, 512 // d)  # block-rows per slab
         npb_pad = -(-npb // c) * c
+        inv_p = problem.const(
+            ("schur_dense_inv",),
+            np.concatenate([inv, np.full((npb_pad - npb) * npb,
+                                         ss.s_sizes[key], np.int32)]))
+        inv_tp = problem.const(
+            ("schur_dense_inv_t",),
+            np.concatenate([inv_t, np.full((npb_pad - npb) * npb,
+                                           ss.s_sizes[key], np.int32)]))
+        perm_c = jnp.asarray(perm)
 
         def interleave(i0):
-            # out-of-range rows of the last chunk clamp (sliced off below)
-            slab = full_flat[i0 * npb + jnp.arange(c * npb)]
+            sel = i0 * npb + jnp.arange(c * npb)
+            slab = (s_pad[inv_p[sel]]
+                    + s_pad[inv_tp[sel]][:, perm_c])
             return (slab.reshape(c, npb, d, d).transpose(0, 2, 1, 3)
                     .reshape(c * d, n))
 
