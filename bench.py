@@ -62,17 +62,21 @@ def measure_floor(jax, jnp):
     return best * 1e3
 
 
-def stage_ms(jax, jnp, problem, body, floor_ms):
+def stage_ms(jax, jnp, problem, body, floor_ms, *args):
     # jit_with_consts: the static index arrays ride as executable
     # arguments — inlining them as HLO constants exceeds the remote
-    # compiler's payload limit at Venice-Final scale
+    # compiler's payload limit at Venice-Final scale. The probe's live
+    # arrays (lin0/hv0/sv0/...) must ride as ARGUMENTS too: closed-over
+    # device arrays are inlined as dense literals in the lowered module
+    # (measured: a 71 MB literal at Venice-52, HTTP 413 at Venice-Final).
     f = problem.jit_with_consts(
-        lambda: jax.lax.fori_loop(0, STAGE_N, body, jnp.float32(0)))
-    jax.block_until_ready(f())
+        lambda *a: jax.lax.fori_loop(
+            0, STAGE_N, lambda i, acc: body(i, acc, *a), jnp.float32(0)))
+    jax.block_until_ready(f(*args))
     best = float("inf")
     for _ in range(2):
         t = time.perf_counter()
-        jax.block_until_ready(f())
+        jax.block_until_ready(f(*args))
         best = min(best, time.perf_counter() - t)
     return max(best * 1e3 - floor_ms, 0.0) / STAGE_N
 
@@ -143,11 +147,11 @@ def main():
     lin0 = jax.jit(lambda p: linearize(problem, p))(params)
     hv0 = jax.jit(lambda l: compute_hessian_values(problem, hs, l))(lin0)
 
-    def lin_body(i, acc):
+    def lin_body(i, acc, params):
         p = {k: v + acc * 1e-30 for k, v in params.items()}
         return acc + linearize(problem, p).chi2 * 1e-30
 
-    def hess_body(i, acc):
+    def hess_body(i, acc, lin0):
         import dataclasses
         lin = dataclasses.replace(
             lin0, chi2_deriv={k: v + acc * 1e-30
@@ -155,12 +159,12 @@ def main():
         hv = compute_hessian_values(problem, hs, lin)
         return acc + jnp.sum(next(iter(hv.values()))[0]) * 1e-30
 
-    def schur_body(i, acc):
+    def schur_body(i, acc, hv0):
         hv = {k: v + acc * 1e-30 for k, v in hv0.items()}
         sv = schur_values(problem, ss, hv)
         return acc + jnp.sum(next(iter(sv.s_vals.values()))[0]) * 1e-30
 
-    def solve_body(i, acc):
+    def solve_body(i, acc, lin0, hv0, params):
         import dataclasses
         lin = dataclasses.replace(lin0, b=lin0.b + acc * 1e-30)
         from graphite_tpu.solvers.pcg_schur import SchurSolverState
@@ -171,64 +175,83 @@ def main():
 
     # --- solve-breakdown probes (VERDICT r2 #2): where do the per-solve
     # milliseconds go — b_schur, one S matvec (block-sparse and, when
-    # enabled, dense), preconditioner apply, landmark back-substitution ---
+    # enabled, dense), preconditioner apply, landmark back-substitution.
+    # Every live array rides as a jit argument (see stage_ms). ---
     from graphite_tpu.hessian import apply_damping
     from graphite_tpu.schur import SchurOps
 
-    sv0 = problem.jit_with_consts(lambda: schur_values(
-        problem, ss, apply_damping(problem, hs, hv0, lin0.diag,
-                                   jnp.asarray(1e-4, lin0.b.dtype), False)))()
-    ops0 = SchurOps(problem, ss, hv0, sv0)
-    b_s0 = problem.jit_with_consts(lambda: ops0.b_schur(lin0.b))()
-    pstate0 = problem.jit_with_consts(
-        lambda: solver.preconditioner.prepare(problem, ss, sv0))()
+    stages = {}
+    try:
+        sv0 = problem.jit_with_consts(lambda hv, dg: schur_values(
+            problem, ss, apply_damping(
+                problem, hs, hv, dg, jnp.asarray(1e-4, lin0.b.dtype),
+                False)))(hv0, lin0.diag)
+        b_s0 = problem.jit_with_consts(
+            lambda hv, sv, b: SchurOps(problem, ss, hv, sv).b_schur(b)
+        )(hv0, sv0, lin0.b)
+        pstate0 = problem.jit_with_consts(
+            lambda sv: solver.preconditioner.prepare(problem, ss, sv))(sv0)
+        solve_probes_ok = True
+    except Exception as e:  # noqa: BLE001 - probes are best-effort
+        log(f"solve-breakdown prep FAILED: {type(e).__name__}: {e}")
+        solve_probes_ok = False
 
-    def bschur_body(i, acc):
-        return acc + ops0.b_schur(lin0.b + acc * 1e-30)[0] * 1e-30
+    def bschur_body(i, acc, hv0, sv0, b):
+        ops = SchurOps(problem, ss, hv0, sv0)
+        return acc + ops.b_schur(b + acc * 1e-30)[0] * 1e-30
 
-    def smatvec_body(i, acc):
-        return acc + ops0.s_matvec(b_s0 + acc * 1e-30)[0] * 1e-30
+    def smatvec_body(i, acc, hv0, sv0, b_s0):
+        ops = SchurOps(problem, ss, hv0, sv0)
+        return acc + ops.s_matvec(b_s0 + acc * 1e-30)[0] * 1e-30
 
-    def dense_matvec_body(i, acc):
+    def dense_matvec_body(i, acc, sv0, b_s0):
         from graphite_tpu.solvers.dense_cholesky_schur import schur_to_dense
         S = schur_to_dense(problem, ss, sv0)
         p = b_s0 + acc * 1e-30
         return acc + (S @ p.astype(S.dtype))[0] * 1e-30
 
-    def precond_body(i, acc):
+    def precond_body(i, acc, pstate0, b_s0):
         y = solver.preconditioner.apply(problem, ss, pstate0,
                                         b_s0 + acc * 1e-30)
         return acc + y[0] * 1e-30
 
-    def backsub_body(i, acc):
-        rows = ops0.landmark_update(lin0.b, b_s0 + acc * 1e-30)
+    def backsub_body(i, acc, hv0, sv0, b, b_s0):
+        ops = SchurOps(problem, ss, hv0, sv0)
+        rows = ops.landmark_update(b, b_s0 + acc * 1e-30)
         return acc + next(iter(rows.values()))[0, 0] * 1e-30
 
     schur_flops = (led.get("hll_inverse", 0) + led.get("hpl_w", 0)
                    + led.get("triple_products", 0))
-    stages = {}
-    for name, body, flops in (
-        ("linearize", lin_body, None),
-        ("hessian_values", hess_body, led.get("hessian_values")),
-        ("schur_values", schur_body, schur_flops),
-        ("b_schur", bschur_body, led.get("b_schur")),
-        ("s_matvec_block", smatvec_body, None),
-        ("precond_apply", precond_body, led.get("precond")),
-        ("backsub", backsub_body, led.get("backsub")),
-        ("solve_full", solve_body, None),
+    probes = [
+        ("linearize", lin_body, None, (params,)),
+        ("hessian_values", hess_body, led.get("hessian_values"), (lin0,)),
+        ("schur_values", schur_body, schur_flops, (hv0,)),
+        ("solve_full", solve_body, None, (lin0, hv0, params)),
+    ]
+    if solve_probes_ok:
+        probes[3:3] = [
+            ("b_schur", bschur_body, led.get("b_schur"),
+             (hv0, sv0, lin0.b)),
+            ("s_matvec_block", smatvec_body, None, (hv0, sv0, b_s0)),
+            ("precond_apply", precond_body, led.get("precond"),
+             (pstate0, b_s0)),
+            ("backsub", backsub_body, led.get("backsub"),
+             (hv0, sv0, lin0.b, b_s0)),
+        ]
         # last: at Venice scale the dense build's transients can push the
         # worker to the HBM limit — keep a crash from eating other probes
-        ("s_matvec_dense_incl_build", dense_matvec_body, None),
-    ):
+        probes.append(("s_matvec_dense_incl_build", dense_matvec_body,
+                       None, (sv0, b_s0)))
+    for name, body, flops, args in probes:
         try:
-            ms = stage_ms(jax, jnp, problem, body, floor_ms)
+            ms = stage_ms(jax, jnp, problem, body, floor_ms, *args)
         except Exception as e:  # noqa: BLE001 - stage probes are best-effort
             log(f"stage {name:<16} FAILED: {type(e).__name__}")
             stages[name] = dict(ms=None)
             continue
         stages[name] = dict(ms=round(ms, 3))
-        if flops:
-            stages[name]["gflops"] = round(flops / (ms * 1e6 + 1e-30), 1)
+        if flops and ms > 1e-3:  # sub-us stages are below the probe floor
+            stages[name]["gflops"] = round(flops / (ms * 1e6), 1)
         log(f"stage {name:<16} {ms:7.3f} ms"
             + (f"  {stages[name]['gflops']:7.1f} GFLOP/s" if flops else ""))
 

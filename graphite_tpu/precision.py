@@ -70,14 +70,21 @@ class Precision:
         """Element-multiplication precision for MXU contractions.
 
         TPU f32 matmuls default to single-pass bf16 inputs, which destroys
-        the Schur complement's cancellation (S = Hpp - correction) — an
-        fp32 policy must use 'highest' (6-pass, f32-exact). A low solver
-        dtype means the user opted into bf16 arithmetic.
+        the Schur complement's cancellation (S = Hpp - correction) — so
+        every policy uses 'highest' (multi-pass, f32-exact). For
+        low-precision solver dtypes this costs nothing where it used to be
+        thought to matter: matmuls whose inputs are ALREADY bf16 (stored
+        Jacobians) are exact in a single pass regardless of the setting,
+        so 'highest' only restores accuracy on the f32-input matmuls
+        (jacfwd linearization, the dense-S PCG matvec, Cholesky panels) —
+        which is exactly where the former 'default' choice cost FP32_BF16
+        a 1.44x final-chi2 gap (BENCHMARKS.md round-2 precision sweep;
+        closed in round 3).
 
-        ``GRAPHITE_TPU_MATMUL_PRECISION`` overrides the policy choice
-        (e.g. 'high' = bf16x3, ~1e-6 rel err on the Schur cancellation —
-        measured on-chip in BENCHMARKS.md); most fp32 FLOPs now run on the
-        VPU (ops/blockfmt.py) so the override mainly affects jacfwd
+        ``GRAPHITE_TPU_MATMUL_PRECISION`` overrides (e.g. 'high' = bf16x3,
+        ~1e-6 rel err on the Schur cancellation, or 'default' to restore
+        the old bf16-policy behavior); most fp32 FLOPs run on the VPU
+        (ops/blockfmt.py) so the override mainly affects jacfwd
         linearization and the dense-S PCG matvec.
         """
         import os
@@ -85,7 +92,7 @@ class Precision:
         override = os.environ.get("GRAPHITE_TPU_MATMUL_PRECISION")
         if override:
             return override
-        return "default" if is_low_precision(self.solver_dtype) else "highest"
+        return "highest"
 
     @property
     def acc_dtype(self):
