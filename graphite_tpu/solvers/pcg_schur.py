@@ -53,7 +53,11 @@ class PCGSchurSolver:
     preconditioner: object = dataclasses.field(
         default_factory=BlockJacobiSchurPreconditioner
     )
-    dense_matvec_limit: int = 16384
+    # 8192: a dense S at Venice-Final's dim_p = 16002 (1.02 GB) was
+    # measured to bring NO throughput gain (0.20 vs 0.208 it/s) while
+    # pushing the LM loop over the HBM limit on ~half of runs — the
+    # Venice solve cost lives elsewhere (see BENCHMARKS.md round 3).
+    dense_matvec_limit: int = 8192
     # below this dim_p the WHOLE PCG loop runs as one VMEM-resident Pallas
     # kernel (S, dense block-Jacobi M and all CG vectors on-chip; zero
     # per-iteration dispatch) — the fix for the launch-bound small-problem
