@@ -404,25 +404,27 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
     hpl_w: Dict[Tuple[int, int], jax.Array] = {}
     for key in ss.hpl_keys:
         dp, dl = key
-        hpl_flat = hvals[key][problem.const(("hpl_h", key), ss.hpl_h_idx[key])]
+        # identity gathers eliminated: hpl_h_idx is iota when the (dp,dl)
+        # H group holds exactly the Hpl blocks in CSC order (BAL)
+        hpl_flat = _maybe_rows(problem, ("hpl_h", key), hvals[key],
+                               ss.hpl_h_idx[key])
         lm_gidx = problem.const(
             ("hpl_lm_gidx", key),
             ss.lm_group_index[ss.hpl_lm[key]].astype(np.int32),
         )
-        mid_flat = hll_inv[dl][lm_gidx]
         K = hpl_flat.shape[0]
 
-        def w_body(chunk_arrays, dp=dp, dl=dl):
+        def w_body(chunk_arrays, dp=dp, dl=dl, inv=hll_inv[dl]):
             # fused 2-D VPU block product: no 3-D tile-padded transient and
-            # exact fp32 multiplies (ops/blockfmt.py)
-            hf, mf = chunk_arrays
-            return flat_block_mm_nn(hf.astype(inv_dt), mf, dp, dl, dl,
+            # exact fp32 multiplies (ops/blockfmt.py); the Hll^{-1} row
+            # lookup happens inside the chunk (small source table)
+            hf, gi = chunk_arrays
+            return flat_block_mm_nn(hf.astype(inv_dt), inv[gi], dp, dl, dl,
                                     acc_dtype=inv_dt)
 
-        if K <= _chunk_threshold(problem):
-            hpl_w[key] = w_body((hpl_flat, mid_flat))
-        else:
-            hpl_w[key] = scan_map(w_body, (hpl_flat, mid_flat), K, CHUNK)
+        hpl_w[key] = _mapped_rows(
+            w_body, (hpl_flat, lm_gidx), K,
+            (dp * dl * 2 + dl * dl) * 4)
 
     # Inside a factor-sharded shard_map with a known mesh size, the triple
     # products — the dominant stage at scale (schur.hpp:484-585: the work
@@ -798,6 +800,103 @@ def _product_scatter(problem, ss, gi, pg, prod_flat, inv_dt):
     )
 
 
+# Byte budget for scan_map product chunks feeding the streaming reduction
+# (bounds each step's gathered-row transient; the full (K, D) product
+# buffer is narrow and lives once in HBM).
+_MAP_BYTES = 64 << 20
+
+
+def _map_chunk_rows(row_bytes: int, align: int = 2048) -> int:
+    rows = max(_MAP_BYTES // max(row_bytes, 1), align)
+    return (rows // align) * align
+
+
+def _get_stream_plan(problem, tag, seg: np.ndarray, num_segments: int,
+                     dtype, chunk: int = 2048):
+    """Cached streaming-segsum plan for a destination-sorted reduction
+    site, or None when the site must use XLA's segment_sum (CPU backend,
+    inside shard_map, non-f32, unsorted segments, or infeasible window).
+
+    On-chip at Venice-Final scale the streaming kernel reduces
+    (5M, D) -> 1M segments in ~21 ms vs ~229 ms for XLA's scatter-add
+    (tools/venice_microbench.py) — this is the TPU restatement of the
+    reference's atomicAdd scatters (ops/schur.hpp:190-263).
+    """
+    if not _use_pallas(problem, dtype):
+        return None
+    plans = problem._cache.setdefault("stream_site_plans", {})
+    if tag not in plans:
+        from .ops.pallas.segsum_stream import plan_streaming_segsum
+
+        seg = np.asarray(seg)
+        if seg.size == 0 or np.any(np.diff(seg) < 0):
+            plans[tag] = dict(feasible=False)
+        else:
+            plans[tag] = plan_streaming_segsum(
+                seg.astype(np.int32), num_segments, chunk=chunk)
+    p = plans[tag]
+    return p if p.get("feasible") else None
+
+
+def _stream_consts(problem, tag, plan) -> dict:
+    return dict(
+        seg_pad=problem.const(tag + ("seg",), plan["seg_pad_2d"]),
+        starts=problem.const(tag + ("starts",), plan["starts"]),
+        nflush=problem.const(tag + ("nflush",), plan["nflush"]),
+        bases=problem.const(tag + ("bases",), plan["bases"]),
+    )
+
+
+def _mapped_rows(body, arrays, k: int, row_bytes: int):
+    """body(arrays) -> (k, D) rows, scan-chunked above the byte budget so
+    gather transients stay bounded."""
+    chunk = _map_chunk_rows(row_bytes)
+    if k <= chunk:
+        return body(arrays)
+    return scan_map(body, arrays, k, chunk)
+
+
+def _maybe_rows(problem, tag, arr, idx: np.ndarray):
+    """arr[idx] with identity gathers ELIMINATED: on chip a (5M, 27) row
+    gather costs ~115-182 ms even for monotone indices while the array
+    itself is free (tools/gather_micro.py); the CSC-ordered structures
+    make many hot index arrays exactly iota."""
+    idx = np.asarray(idx)
+    ident = problem._cache.setdefault("identity_idx", {})
+    if tag not in ident:
+        ident[tag] = bool(
+            arr.shape[0] == idx.shape[0]
+            and (idx.size == 0
+                 or (idx[0] == 0 and idx[-1] == idx.size - 1
+                     and np.array_equal(
+                         idx, np.arange(idx.size, dtype=idx.dtype))))
+        )
+    if ident[tag]:
+        return arr
+    return arr[problem.const(tag, idx.astype(np.int32))]
+
+
+def _reduce_rows(problem, tag, y, seg: np.ndarray, num_segments: int,
+                 dtype):
+    """(K, D) product rows -> (num_segments, D) via the streaming Pallas
+    kernel when the destination is sorted + feasible (21 ms vs 229 ms at
+    Venice shapes for ~1M segments), else ONE XLA segment_sum (cheap for
+    few segments: 44 ms into 1.8k rows at the same K)."""
+    plan = _get_stream_plan(problem, tag + ("stream",), seg, num_segments,
+                            dtype, chunk=_STREAM_CHUNK)
+    if plan is not None:
+        from .ops.pallas.segsum_stream import streaming_segment_sum
+
+        return streaming_segment_sum(
+            y, plan, **_stream_consts(problem, tag, plan)
+        ).astype(y.dtype)
+    return jax.ops.segment_sum(
+        y, problem.const(tag + ("seg",), seg.astype(np.int32)),
+        num_segments=num_segments,
+    )
+
+
+_STREAM_CHUNK = 2048
 
 
 def _partition_blocks_by_type(ss: SchurStructure, block_ids: np.ndarray):
@@ -833,9 +932,8 @@ class SchurOps:
         self._gdt = problem.precision.graph_dtype
 
     def hpl(self, key):
-        return self.hvals[key][
-            self.problem.const(("hpl_h", key), self.ss.hpl_h_idx[key])
-        ]
+        return _maybe_rows(self.problem, ("hpl_h", key), self.hvals[key],
+                           self.ss.hpl_h_idx[key])
 
     def _cached_partition(self, tag, block_ids):
         cache = self.problem._cache.setdefault("schur_partitions", {})
@@ -858,9 +956,8 @@ class SchurOps:
             order = np.argsort(rows, kind="stable")
             gidx = ss.lm_group_index[sel[order]].astype(np.int32)
             inv = unflatten_blocks(
-                self.sv.hll_inv[d][
-                    self.problem.const(("hllsolve_gidx", t), gidx)
-                ], d, d,
+                _maybe_rows(self.problem, ("hllsolve_gidx", t),
+                            self.sv.hll_inv[d], gidx), d, d,
             )
             out[t] = jnp.einsum(
                 "krc,kc->kr", inv, t_rows[t].astype(inv.dtype)
@@ -897,33 +994,29 @@ class SchurOps:
                     sub = psel[lsel]
                     ck = ("bschur", key, pt, lt)
                     K = sub.shape[0]
+                    wlt = w[lt]
+                    # Natural (lm, pose)-sorted order: the Hpl gather is
+                    # typically iota (eliminated) and the w gather is a
+                    # narrow lookup from the small per-landmark solve
+                    # table. The pose-row destination is unsorted, but
+                    # with ~n_pose segments one XLA segment_sum is cheap
+                    # (44 ms at K=5M into 1.8k rows, gather_micro.py).
+                    Hsub_flat = _maybe_rows(problem, ck + ("sub",), Hpl,
+                                            sub)
                     lrow_c = problem.const(ck + ("lrow",),
                                            lrow.astype(np.int32))
-                    sub_c = problem.const(ck + ("sub",), sub.astype(np.int32))
-                    prow_c = problem.const(ck + ("prow",),
-                                           prow[lsel].astype(np.int32))
-                    n_seg = problem.seg_rows[pt] + 1
-                    wlt = w[lt]
 
-                    def bs_body(carry, chunk_arrays, dp=dp, dl=dl,
-                                n_seg=n_seg, Hpl=Hpl, wlt=wlt):
-                        lr, sb, pr = chunk_arrays
-                        Wg = wlt[lr]
-                        Hsub = unflatten_blocks(Hpl[sb], dp, dl)
-                        y = jnp.einsum("kab,kb->ka", Hsub.astype(Wg.dtype),
-                                       Wg)
-                        return carry + jax.ops.segment_sum(
-                            y.astype(gdt), pr, num_segments=n_seg
-                        )
+                    def y_body(chunk_arrays, dp=dp, dl=dl, wlt=wlt):
+                        hf, lr = chunk_arrays
+                        Hsub = unflatten_blocks(hf, dp, dl)
+                        return jnp.einsum(
+                            "kab,kb->ka", Hsub.astype(wlt.dtype), wlt[lr]
+                        ).astype(gdt)
 
-                    acc0 = jnp.zeros((n_seg, dp), dtype=gdt)
-                    if K <= _chunk_threshold(problem):
-                        acc = bs_body(acc0, (lrow_c, sub_c, prow_c))[:-1]
-                    else:
-                        acc = scan_accumulate(
-                            bs_body, (lrow_c, sub_c, prow_c), K, CHUNK, acc0,
-                            fills=[0, 0, n_seg - 1],
-                        )[:-1]
+                    y = _mapped_rows(y_body, (Hsub_flat, lrow_c), K,
+                                     (dp * dl + dp + dl) * 4)
+                    acc = _reduce_rows(problem, ck, y, prow[lsel],
+                                       problem.seg_rows[pt], gdt)
                     prev = out_rows.get(pt)
                     out_rows[pt] = acc if prev is None else prev + acc
         flat = problem.flat_from_rows(
@@ -958,68 +1051,56 @@ class SchurOps:
                     sub = rsel[csel]
                     ck = ("smv", key, rt, ct)
                     K = sub.shape[0]
-                    sub_c = problem.const(ck + ("sub",), sub.astype(np.int32))
+                    rrow_l = rrow[csel]
+                    x_ct = problem.rows_view(x, ct)
+                    # Forward S x in natural CSC order: the wide S-block
+                    # gather is typically iota (eliminated); the row-block
+                    # destination is unsorted but has only ~n_pose
+                    # segments, so one XLA segment_sum is cheap.
+                    S_flat = _maybe_rows(problem, ck + ("sub",), S, sub)
                     crow_c = problem.const(ck + ("crow",),
                                            crow.astype(np.int32))
-                    rrow_c = problem.const(ck + ("rrow",),
-                                           rrow[csel].astype(np.int32))
-                    x_ct = problem.rows_view(x, ct)
-                    n_seg_r = problem.seg_rows[rt] + 1
 
-                    def smv_body(carry, chunk_arrays, dr_k=dr_k, dc_k=dc_k,
-                                 n_seg=n_seg_r, S=S, x_ct=x_ct):
-                        sb, cr, rr = chunk_arrays
-                        Sg = unflatten_blocks(S[sb], dr_k, dc_k)
+                    def y_fwd(chunk_arrays, dr_k=dr_k, dc_k=dc_k,
+                              x_ct=x_ct):
+                        sf, cr = chunk_arrays
+                        Sg = unflatten_blocks(sf, dr_k, dc_k)
                         xg = x_ct[cr].astype(Sg.dtype)
-                        return carry + jax.ops.segment_sum(
-                            jnp.einsum("krc,kc->kr", Sg, xg).astype(gdt),
-                            rr, num_segments=n_seg,
-                        )
+                        return jnp.einsum("krc,kc->kr", Sg, xg).astype(gdt)
 
-                    acc0 = jnp.zeros((n_seg_r, dr_k), dtype=gdt)
-                    if K <= _chunk_threshold(problem):
-                        acc = smv_body(acc0, (sub_c, crow_c, rrow_c))[:-1]
-                    else:
-                        acc = scan_accumulate(
-                            smv_body, (sub_c, crow_c, rrow_c), K, CHUNK, acc0,
-                            fills=[0, 0, n_seg_r - 1],
-                        )[:-1]
+                    y = _mapped_rows(y_fwd, (S_flat, crow_c), K,
+                                     (dr_k * dc_k + dr_k + dc_k) * 4)
+                    acc = _reduce_rows(problem, ck, y, rrow_l,
+                                       problem.seg_rows[rt], gdt)
                     add_rows(rt, acc)
-                    # transpose contribution for off-diagonal blocks
+                    # transpose contribution for off-diagonal blocks: the
+                    # CSC (col-major) storage order makes the column
+                    # destination already sorted — streaming kernel
+                    # applies with no permutation
                     off = rows_b[sub] != cols_b[sub]
                     if np.any(off):
                         o = np.nonzero(off)[0]
                         Ko = o.shape[0]
-                        subo_c = problem.const(
-                            ck + ("sub_o",), sub[o].astype(np.int32))
-                        rrow_o = problem.const(
-                            ck + ("rrow_o",), rrow[csel][o].astype(np.int32))
-                        crow_o = problem.const(
-                            ck + ("crow_o",), crow[o].astype(np.int32))
                         x_rt = problem.rows_view(x, rt)
-                        n_seg_c = problem.seg_rows[ct] + 1
+                        cko = ck + ("t",)
+                        St_flat = _maybe_rows(problem, cko + ("sub",), S,
+                                              sub[o])
+                        rrow_o = problem.const(
+                            cko + ("rr",), rrow_l[o].astype(np.int32))
 
-                        def smvt_body(carry, chunk_arrays, dr_k=dr_k,
-                                      dc_k=dc_k, n_seg=n_seg_c, S=S,
-                                      x_rt=x_rt):
-                            sb, rr, cr = chunk_arrays
+                        def y_t(chunk_arrays, dr_k=dr_k, dc_k=dc_k,
+                                x_rt=x_rt):
+                            sf, rr = chunk_arrays
                             St = jnp.swapaxes(
-                                unflatten_blocks(S[sb], dr_k, dc_k), -1, -2)
+                                unflatten_blocks(sf, dr_k, dc_k), -1, -2)
                             xg2 = x_rt[rr].astype(St.dtype)
-                            return carry + jax.ops.segment_sum(
-                                jnp.einsum("kcr,kr->kc", St, xg2).astype(gdt),
-                                cr, num_segments=n_seg,
-                            )
+                            return jnp.einsum(
+                                "kcr,kr->kc", St, xg2).astype(gdt)
 
-                        acc0t = jnp.zeros((n_seg_c, dc_k), dtype=gdt)
-                        if Ko <= _chunk_threshold(problem):
-                            acct = smvt_body(
-                                acc0t, (subo_c, rrow_o, crow_o))[:-1]
-                        else:
-                            acct = scan_accumulate(
-                                smvt_body, (subo_c, rrow_o, crow_o), Ko,
-                                CHUNK, acc0t, fills=[0, 0, n_seg_c - 1],
-                            )[:-1]
+                        y2 = _mapped_rows(y_t, (St_flat, rrow_o), Ko,
+                                          (dr_k * dc_k + dr_k + dc_k) * 4)
+                        acct = _reduce_rows(problem, cko, y2, crow[o],
+                                            problem.seg_rows[ct], gdt)
                         add_rows(ct, acct)
         return problem.flat_from_rows(y_rows, dtype=gdt)[: ss.dim_p]
 
@@ -1049,41 +1130,34 @@ class SchurOps:
             lm_abs = ss.hpl_lm[key] + problem.elimination_block
             for pt, psel, prow in self._cached_partition(
                     f"hpl_pose_{key}", ss.hpl_pose[key]):
-                xg = problem.rows_view(dx_p, pt)[
-                    problem.const(("lu_prow", key, pt),
-                                  prow.astype(np.int32))]
+                xrows = problem.rows_view(dx_p, pt)
                 for lt, lsel, lrow in self._cached_partition(
                         f"hpl_lm_{key}_{pt}", lm_abs[psel]):
                     sub = psel[lsel]
                     ck = ("lu", key, pt, lt)
                     K = sub.shape[0]
-                    sub_c = problem.const(ck + ("sub",), sub.astype(np.int32))
-                    lsel_c = problem.const(ck + ("lsel",),
-                                           lsel.astype(np.int32))
-                    lrow_c = problem.const(ck + ("lrow",),
-                                           lrow.astype(np.int32))
-                    n_seg = problem.seg_rows[lt] + 1
+                    # Hpl is CSC (lm, pose)-sorted: lrow is already
+                    # destination-sorted (streaming kernel applies) and
+                    # `sub` is typically iota (gather eliminated). The x
+                    # gather composes prow∘lsel statically — ONE narrow
+                    # gather from the small per-type row table.
+                    Hsub_flat = _maybe_rows(problem, ck + ("sub",), Hpl,
+                                            sub)
+                    pr_c = problem.const(
+                        ck + ("pr",), prow[lsel].astype(np.int32))
 
-                    def lu_body(carry, chunk_arrays, dp=dp, dl=dl,
-                                n_seg=n_seg, Hpl=Hpl, xg=xg):
-                        sb, ls, lr = chunk_arrays
-                        Hsub = unflatten_blocks(Hpl[sb], dp, dl)
-                        contrib = jnp.einsum(
+                    def y_body(chunk_arrays, dp=dp, dl=dl, xrows=xrows):
+                        hf, pr = chunk_arrays
+                        Hsub = unflatten_blocks(hf, dp, dl)
+                        return jnp.einsum(
                             "kab,ka->kb", Hsub.astype(gdt),
-                            xg[ls].astype(gdt),
-                        )
-                        return carry + jax.ops.segment_sum(
-                            contrib, lr, num_segments=n_seg
+                            xrows[pr].astype(gdt),
                         )
 
-                    acc0 = jnp.zeros((n_seg, dl), dtype=gdt)
-                    if K <= _chunk_threshold(problem):
-                        acc = lu_body(acc0, (sub_c, lsel_c, lrow_c))[:-1]
-                    else:
-                        acc = scan_accumulate(
-                            lu_body, (sub_c, lsel_c, lrow_c), K, CHUNK, acc0,
-                            fills=[0, 0, n_seg - 1],
-                        )[:-1]
+                    y = _mapped_rows(y_body, (Hsub_flat, pr_c), K,
+                                     (dp * dl + dp + dl) * 4)
+                    acc = _reduce_rows(problem, ck, y, lrow,
+                                       problem.seg_rows[lt], gdt)
                     t_rows[lt] = t_rows[lt] - acc
         return self._hll_solve_rows(t_rows)
 
