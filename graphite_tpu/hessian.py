@@ -44,7 +44,12 @@ import numpy as np
 from . import hostops
 from .graph import with_matmul_precision
 from .linearize import DIAG_MIN, DIAG_MAX, Linearization, _apply_precision
-from .ops.blockfmt import flatten_blocks, unflatten_blocks
+from .ops.blockfmt import (
+    flat_block_mm_nn,
+    flat_block_mm_tn,
+    flatten_blocks,
+    unflatten_blocks,
+)
 
 
 @dataclasses.dataclass
@@ -410,6 +415,70 @@ def compute_hessian_values(problem, hs: HessianStructure,
         ds = fm.ftype.vertex_types[cm.s].dim
         dt_ = fm.ftype.vertex_types[cm.t].dim
         n_local = J[cm.s].shape[0]
+
+        if problem.psum_axis is None:
+            # Non-sharded: compute the flat (F, ds*dt) product rows in
+            # byte-bounded scan_map chunks (no per-step accumulator
+            # folding), then reduce each destination with the cheapest
+            # primitive — inverse-permutation gather (unique dst),
+            # permute+streaming kernel (many segments), or one XLA
+            # segment_sum (few segments). On chip at Venice-Final scale
+            # this replaces a 10-step scan that folded a 540 MB carry
+            # through every step (reference: factor.hpp:771-853's
+            # per-(i,j)-stream atomicAdd assembly).
+            from .schur import (  # deferred: schur imports hessian
+                _mapped_rows,
+                _reduce_rows_perm,
+            )
+
+            fa = problem.data.factors[cm.fname]
+            arrays = [J[cm.s], J[cm.t],
+                      lin.chi2_deriv[cm.fname].astype(acc)]
+            has_prec = fa.precision is not None
+            if has_prec:
+                arrays.append(fa.precision)
+
+            def prod_body(chunk_arrays, E=E, ds=ds, dt_=dt_,
+                          has_prec=has_prec):
+                # flat 2-D VPU block products: no tile-padded 3-D
+                # transients (a (F, 9, 9) einsum output costs 25x its
+                # bytes in HBM — ops/blockfmt.py)
+                js, jt, dl = chunk_arrays[:3]
+                jt = jt.astype(acc)
+                if has_prec:
+                    jt = flat_block_mm_nn(
+                        chunk_arrays[3].astype(acc), jt, E, E, dt_,
+                        acc_dtype=acc)
+                blk = flat_block_mm_tn(js.astype(acc), jt, ds, E, dt_,
+                                       acc_dtype=acc)
+                return (blk * dl[:, None]).astype(inv_dt)
+
+            row_bytes = (E * ds + E * dt_ + ds * dt_ + 1
+                         + (E * E if has_prec else 0)) * 4
+            flat = _mapped_rows(prod_body, tuple(arrays), n_local,
+                                row_bytes)
+            if cm.direct_gather is not None:
+                inv = problem.const(("hess_g", ci), cm.direct_gather)
+                padded = jnp.concatenate(
+                    [flat, jnp.zeros((1, flat.shape[1]), dtype=inv_dt)]
+                )
+                values[cm.direct_group] = values[cm.direct_group] + padded[
+                    inv]
+            elif cm.direct_idx is not None:
+                values[cm.direct_group] = values[
+                    cm.direct_group] + _reduce_rows_perm(
+                        problem, ("hess_d", ci), flat, cm.direct_idx,
+                        hs.group_sizes[cm.direct_group] + 1, inv_dt)
+            if cm.trans_idx is not None:
+                # row-major (ds, dt) -> (dt, ds) transpose is a static
+                # lane permutation of the flat rows
+                tperm = np.arange(ds * dt_).reshape(ds, dt_).T.reshape(-1)
+                flat_t = flat[:, tperm]
+                values[cm.trans_group] = values[
+                    cm.trans_group] + _reduce_rows_perm(
+                        problem, ("hess_t", ci), flat_t, cm.trans_idx,
+                        hs.group_sizes[cm.trans_group] + 1, inv_dt)
+            continue
 
         if n_local <= chunk_limit:
             blk = jnp.einsum(

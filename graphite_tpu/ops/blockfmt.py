@@ -84,6 +84,25 @@ def flat_block_mm_nt(a_flat: jax.Array, b_flat: jax.Array,
     return out
 
 
+def flat_block_mm_tn(a_flat: jax.Array, b_flat: jax.Array,
+                     m: int, k: int, n: int, acc_dtype=None) -> jax.Array:
+    """Per-row block product A^T @ B in flat layout.
+
+    a_flat: (N, k*m) row-major blocks (k rows, m cols); b_flat: (N, k*n).
+    Returns (N, m*n): out[i, a*n+c] = sum_e A[i, e, a] * B[i, e, c].
+    The J^T P J shape: contraction over the residual dim (k = E, small).
+    """
+    acc_dtype = acc_dtype or jnp.result_type(a_flat.dtype, b_flat.dtype)
+    out = None
+    for e in range(k):
+        a_row = a_flat[:, e * m:(e + 1) * m].astype(acc_dtype)  # A[:, e, :]
+        b_row = b_flat[:, e * n:(e + 1) * n].astype(acc_dtype)  # B[:, e, :]
+        term = (jnp.repeat(a_row, n, axis=1)
+                * jnp.tile(b_row, (1, m)))
+        out = term if out is None else out + term
+    return out
+
+
 def flat_block_mv(a_flat: jax.Array, x: jax.Array, m: int, k: int,
                   acc_dtype=None) -> jax.Array:
     """Per-row block matvec A @ x in flat layout.

@@ -28,6 +28,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _seg_rows(seg_pad: np.ndarray, n_chunks: int, chunk: int) -> np.ndarray:
+    """(k_pad,) ids -> (ceil8(n_chunks), chunk) chunk-row layout (Mosaic
+    blocks need 8-divisible second-minor dims; pad rows repeat the last
+    chunk and are never read)."""
+    rows = seg_pad.reshape(n_chunks, chunk).astype(np.int32)
+    n8 = _round_up(max(n_chunks, 1), 8)
+    if n8 != n_chunks:
+        rows = np.concatenate(
+            [rows, np.repeat(rows[-1:], n8 - n_chunks, axis=0)], axis=0)
+    return rows
+
+
 def plan_sorted_segsum(seg_sorted: np.ndarray, num_segments: int,
                        chunk: int = 512) -> dict:
     """Freeze-time plan: window starts per chunk + required window width."""
@@ -47,7 +59,9 @@ def plan_sorted_segsum(seg_sorted: np.ndarray, num_segments: int,
     return dict(
         k=k, k_pad=k_pad, chunk=chunk, n_chunks=n_chunks,
         window=window, starts=starts,
-        seg_pad_2d=seg_pad.reshape(k_pad, 1).astype(np.int32),
+        # (ceil8(n_chunks), chunk): a (k_pad, 1) int32 column would get a
+        # T(8,128) HBM layout — 128x padded bytes (see segsum_stream.py)
+        seg_pad_2d=_seg_rows(seg_pad.astype(np.int32), n_chunks, chunk),
         num_segments=num_segments,
         out_pad=_round_up(num_segments + window, 8),
     )
@@ -63,13 +77,13 @@ def _kernel(starts_ref, vals_ref, seg_ref, out_ref, *, chunk, window,
 
     # align the window base to a sublane multiple for cheap dynamic slicing
     w0 = (starts_ref[i] // 8) * 8
-    seg = seg_ref[:, 0]  # (CHUNK,)
-    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, window), 1)
+    seg_row = seg_ref[pl.ds(jax.lax.rem(i, jnp.int32(8)), 1), :]  # (1, CHUNK)
+    row = jax.lax.broadcasted_iota(jnp.int32, (window, chunk), 0)
     # exact 0/1 one-hot; f32 matmul keeps full value precision (bf16x3 on MXU)
-    onehot = (seg[:, None] - w0 == col).astype(jnp.float32)
+    onehot_t = (seg_row - w0 == row).astype(jnp.float32)
     vals = vals_ref[:].astype(jnp.float32)
     partial = jax.lax.dot_general(
-        onehot, vals, (((0,), (0,)), ((), ())),
+        onehot_t, vals, (((1,), (0,)), ((), ())),
         preferred_element_type=acc_dtype,
         precision=jax.lax.Precision.HIGHEST,
     )
@@ -93,7 +107,7 @@ def _run(vals_pad, seg_pad, starts, *, num_segments, chunk, window, n_chunks,
             grid=(n_chunks,),
             in_specs=[
                 pl.BlockSpec((chunk, d), lambda i, s: (i, 0)),
-                pl.BlockSpec((chunk, 1), lambda i, s: (i, 0)),
+                pl.BlockSpec((8, chunk), lambda i, s: (i // 8, 0)),
             ],
             out_specs=pl.BlockSpec((out_pad, d), lambda i, s: (0, 0)),
         ),

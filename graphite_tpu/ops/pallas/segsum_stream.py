@@ -38,6 +38,17 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _seg_rows(seg_pad: np.ndarray, n_chunks: int, chunk: int) -> np.ndarray:
+    """(k_pad,) ids -> (ceil8(n_chunks), chunk) chunk-row layout (pad rows
+    repeat the last chunk; epilogue/pad steps never read them)."""
+    rows = seg_pad.reshape(n_chunks, chunk).astype(np.int32)
+    n8 = _round_up(max(n_chunks, 1), 8)
+    if n8 != n_chunks:
+        pad = np.repeat(rows[-1:], n8 - n_chunks, axis=0)
+        rows = np.concatenate([rows, pad], axis=0)
+    return rows
+
+
 def plan_streaming_segsum(seg_sorted: np.ndarray, num_segments: int,
                           chunk: int = 2048, flush_mult: int = 16,
                           vmem_rows: int = 8192) -> dict:
@@ -101,7 +112,12 @@ def plan_streaming_segsum(seg_sorted: np.ndarray, num_segments: int,
         n_steps=n_chunks + n_extra, w_pad=w_pad, f=f, a=a,
         out_alloc=out_alloc, num_segments=num_segments,
         starts=w0_steps, nflush=nflush, bases=bases,
-        seg_pad_2d=seg_pad.reshape(k_pad, 1),
+        # (ceil8(n_chunks), chunk) NOT (k_pad, 1): a single-lane int32
+        # column gets a T(8,128) HBM layout — 128x padding, ~925 MB per
+        # 1.9M-row plan at Venice-Final scale (observed OOM). Chunk-row
+        # layout is compact; rows padded to a sublane multiple because
+        # Mosaic blocks must have 8-divisible second-minor dims.
+        seg_pad_2d=_seg_rows(seg_pad, n_chunks, chunk),
     )
 
 
@@ -137,12 +153,16 @@ def _kernel(starts_ref, nflush_ref, bases_ref, vals_ref, seg_ref, out_ref,
     def _():
         base = base0 + nf * f
         w0 = starts_ref[i]
-        seg = seg_ref[:, 0]
-        col = jax.lax.broadcasted_iota(jnp.int32, (chunk, w_pad), 1)
-        onehot = (seg[:, None] - w0 == col).astype(jnp.float32)
+        # seg ids live in LANES of this step's row of the (8, chunk)
+        # block; build the transposed one-hot (w_pad, chunk) by
+        # broadcasting against a sublane iota — no in-kernel
+        # lane->sublane transpose
+        seg_row = seg_ref[pl.ds(jax.lax.rem(i, jnp.int32(8)), 1), :]  # (1, chunk)
+        row = jax.lax.broadcasted_iota(jnp.int32, (w_pad, chunk), 0)
+        onehot_t = (seg_row - w0 == row).astype(jnp.float32)
         vals = vals_ref[:].astype(jnp.float32)
         partial = jax.lax.dot_general(
-            onehot, vals, (((0,), (0,)), ((), ())),
+            onehot_t, vals, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
@@ -175,8 +195,8 @@ def _run(vals_pad, seg_pad, starts, nflush, bases, *, chunk, w_pad, f, a,
             in_specs=[
                 pl.BlockSpec((chunk, d),
                              lambda i, *s: (jnp.minimum(i, last), 0)),
-                pl.BlockSpec((chunk, 1),
-                             lambda i, *s: (jnp.minimum(i, last), 0)),
+                pl.BlockSpec((8, chunk),
+                             lambda i, *s: (jnp.minimum(i, last) // 8, 0)),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=[
@@ -255,7 +275,8 @@ def plan_streaming_segsum_common(seg_slices, ns_list, chunk: int = 2048,
             feasible=True, k=int((seg_p < ns).sum()), k_pad=k_pad,
             chunk=chunk, n_chunks=n_chunks, n_steps=n_steps, w_pad=w_pad,
             f=f, a=a, num_segments=ns, starts=starts, nflush=nflush,
-            bases=bases, seg_pad_2d=seg_p.astype(np.int32).reshape(k_pad, 1),
+            bases=bases,
+            seg_pad_2d=_seg_rows(seg_p.astype(np.int32), n_chunks, chunk),
         ))
     for p in plans:
         p["out_alloc"] = out_alloc
@@ -338,7 +359,7 @@ def _kernel_prod(starts_ref, nflush_ref, bases_ref, left_ref, right_ref,
     def _():
         base = base0 + nf * f
         w0 = starts_ref[i]
-        seg = seg_ref[:, 0]
+        seg_row = seg_ref[pl.ds(jax.lax.rem(i, jnp.int32(8)), 1), :]  # (1, chunk)
         d = m * n
         # in-kernel flat block product A @ B^T via per-slice expansion
         # matmuls (bounded (chunk, d) temporaries)
@@ -360,10 +381,10 @@ def _kernel_prod(starts_ref, nflush_ref, bases_ref, left_ref, right_ref,
             term = lexp * rexp
             prod = term if prod is None else prod + term
 
-        col = jax.lax.broadcasted_iota(jnp.int32, (chunk, w_pad), 1)
-        onehot = (seg[:, None] - w0 == col).astype(jnp.float32)
+        row = jax.lax.broadcasted_iota(jnp.int32, (w_pad, chunk), 0)
+        onehot_t = (seg_row - w0 == row).astype(jnp.float32)
         partial = jax.lax.dot_general(
-            onehot, prod, (((0,), (0,)), ((), ())),
+            onehot_t, prod, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
@@ -400,8 +421,8 @@ def _run_prod(left_pad, right_pad, seg_pad, starts, nflush, bases, *, chunk,
                              lambda i, *s: (jnp.minimum(i, last), 0)),
                 pl.BlockSpec((chunk, n * kdim),
                              lambda i, *s: (jnp.minimum(i, last), 0)),
-                pl.BlockSpec((chunk, 1),
-                             lambda i, *s: (jnp.minimum(i, last), 0)),
+                pl.BlockSpec((8, chunk),
+                             lambda i, *s: (jnp.minimum(i, last) // 8, 0)),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=[

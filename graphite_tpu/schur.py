@@ -478,7 +478,11 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
                     bases=dev_row("bases", sp["bases"]),
                 )
             else:
-                di = segd[:, 0].astype(jnp.int32)
+                # segd is (ceil8(n_chunks), chunk) kernel-geometry layout
+                # (or (k_pad, 1) when no common geometry exists) —
+                # row-major flatten + k_pad slice recovers the id vector
+                # either way
+                di = segd.reshape(-1)[:k_pad].astype(jnp.int32)
 
                 def part_body(carry, chunk_arrays, dpa=dpa, dl=dl, dpb=dpb,
                               Wsrc=Wsrc, Rsrc=Rsrc, ns_max=ns_max):
@@ -897,6 +901,41 @@ def _reduce_rows(problem, tag, y, seg: np.ndarray, num_segments: int,
 
 
 _STREAM_CHUNK = 2048
+
+# Below this many segments one XLA segment_sum beats permute+stream
+# (44 ms into 1.8k rows vs 229 ms into 1M at K=5M, tools/gather_micro.py)
+_STREAM_MIN_SEGMENTS = 65536
+
+
+def _reduce_rows_perm(problem, tag, y, seg: np.ndarray, num_segments: int,
+                      dtype):
+    """Like `_reduce_rows` for UNSORTED destinations with MANY segments:
+    fold a freeze-time sort permutation into one narrow row gather of the
+    product rows, then stream. Below `_STREAM_MIN_SEGMENTS` (or when the
+    kernel is unavailable) one XLA segment_sum wins instead."""
+    seg = np.asarray(seg)
+    if (num_segments < _STREAM_MIN_SEGMENTS
+            or not _use_pallas(problem, dtype)
+            or seg.size == 0 or np.all(np.diff(seg) >= 0)):
+        return _reduce_rows(problem, tag, y, seg, num_segments, dtype)
+    perms = problem._cache.setdefault("stream_site_perms", {})
+    if tag not in perms:
+        perms[tag] = hostops.stable_argsort(
+            seg.astype(np.int64), num_segments).astype(np.int32)
+    perm = perms[tag]
+    plan = _get_stream_plan(problem, tag + ("pstream",), seg[perm],
+                            num_segments, dtype, chunk=_STREAM_CHUNK)
+    if plan is None:
+        return jax.ops.segment_sum(
+            y, problem.const(tag + ("seg",), seg.astype(np.int32)),
+            num_segments=num_segments,
+        )
+    from .ops.pallas.segsum_stream import streaming_segment_sum
+
+    y_sorted = y[problem.const(tag + ("perm",), perm)]
+    return streaming_segment_sum(
+        y_sorted, plan, **_stream_consts(problem, tag + ("p",), plan)
+    ).astype(y.dtype)
 
 
 def _partition_blocks_by_type(ss: SchurStructure, block_ids: np.ndarray):

@@ -33,10 +33,11 @@ def test_plan_windows_cover_chunks():
         seg = np.sort(rng.integers(0, ns, k)).astype(np.int32)
         plan = plan_sorted_segsum(seg, ns, chunk=chunk)
         assert plan["k_pad"] % chunk == 0
-        assert plan["seg_pad_2d"].shape == (plan["k_pad"], 1)
+        n8 = -(-plan["n_chunks"] // 8) * 8
+        assert plan["seg_pad_2d"].shape == (n8, chunk)
         # every chunk's aligned window must cover all its segments
         for c in range(plan["n_chunks"]):
-            rows = plan["seg_pad_2d"][c * chunk:(c + 1) * chunk, 0]
+            rows = plan["seg_pad_2d"][c]
             w0 = (plan["starts"][c] // 8) * 8
             assert rows.min() >= w0
             assert rows.max() < w0 + plan["window"]
@@ -46,7 +47,7 @@ def test_plan_windows_cover_chunks():
 def test_plan_padding_targets_last_segment():
     seg = np.asarray([0, 0, 1, 2], dtype=np.int32)
     plan = plan_sorted_segsum(seg, 3, chunk=8)
-    assert np.all(plan["seg_pad_2d"][4:, 0] == 2)
+    assert np.all(plan["seg_pad_2d"][0, 4:] == 2)
 
 
 @pytest.mark.parametrize("k,ns,d,chunk", [
