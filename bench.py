@@ -226,10 +226,14 @@ def main():
         ("linearize", lin_body, None, (params,)),
         ("hessian_values", hess_body, led.get("hessian_values"), (lin0,)),
         ("schur_values", schur_body, schur_flops, (hv0,)),
-        ("solve_full", solve_body, None, (lin0, hv0, params)),
     ]
+    # the full-solve probe re-runs linearize+hessian+schur inside one
+    # program — at Venice-Final scale its transients exceed HBM and CRASH
+    # the TPU worker (not just the probe), so gate it off
+    if problem.dim_h <= 1_000_000:
+        probes.append(("solve_full", solve_body, None, (lin0, hv0, params)))
     if solve_probes_ok:
-        probes[3:3] = [
+        probes[3:3] = [  # after schur_values, before any solve_full
             ("b_schur", bschur_body, led.get("b_schur"),
              (hv0, sv0, lin0.b)),
             ("s_matvec_block", smatvec_body, None, (hv0, sv0, b_s0)),
@@ -238,10 +242,12 @@ def main():
             ("backsub", backsub_body, led.get("backsub"),
              (hv0, sv0, lin0.b, b_s0)),
         ]
-        # last: at Venice scale the dense build's transients can push the
-        # worker to the HBM limit — keep a crash from eating other probes
-        probes.append(("s_matvec_dense_incl_build", dense_matvec_body,
-                       None, (sv0, b_s0)))
+        # the dense build's transients at dim_p ~16k push the worker past
+        # the HBM limit (observed crash) — only probe when dense S is
+        # comfortably small
+        if ss.dim_p <= 12_000:
+            probes.append(("s_matvec_dense_incl_build", dense_matvec_body,
+                           None, (sv0, b_s0)))
     for name, body, flops, args in probes:
         try:
             ms = stage_ms(jax, jnp, problem, body, floor_ms, *args)

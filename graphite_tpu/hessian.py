@@ -426,10 +426,9 @@ def compute_hessian_values(problem, hs: HessianStructure,
             # this replaces a 10-step scan that folded a 540 MB carry
             # through every step (reference: factor.hpp:771-853's
             # per-(i,j)-stream atomicAdd assembly).
-            from .schur import (  # deferred: schur imports hessian
-                _mapped_rows,
-                _reduce_rows_perm,
-            )
+            from .ops.streamreduce import mapped_rows as _mapped_rows
+            from .ops.streamreduce import reduce_rows_perm as \
+                _reduce_rows_perm
 
             fa = problem.data.factors[cm.fname]
             arrays = [J[cm.s], J[cm.t],

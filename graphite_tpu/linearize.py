@@ -213,6 +213,38 @@ def _weighted_residual(fa: FactorArrays, r: jax.Array, acc_dtype) -> jax.Array:
     ).astype(r.dtype)
 
 
+def _host_factor_rows(problem, fname: str, s: int,
+                      vt_name: str) -> np.ndarray:
+    """Host copy of fa.rows[s] (active-row index per factor, trash row for
+    inactive vertices) for freeze-time reduction planning."""
+    cache = problem._cache.setdefault("host_factor_rows", {})
+    key = (fname, s)
+    if key not in cache:
+        ids = problem.host.factor_ids[fname][:, s]
+        cache[key] = problem.host.vertex_active_row[vt_name][ids].astype(
+            np.int32)
+    return cache[key]
+
+
+def _factor_row_reduce(problem, tag, contrib, fa, fname, s, vt_name, gdt):
+    """(F, d) per-factor contributions -> (n_rows, d) per-vertex rows.
+
+    Non-sharded: freeze-planned reduction (streaming kernel for many
+    destinations, one XLA segment_sum otherwise — ops/streamreduce.py).
+    Sharded: the traced local fa.rows scatter (per-shard segment ids are
+    runtime values there).
+    """
+    n_seg = problem.seg_rows[vt_name] + 1
+    if problem.psum_axis is None:
+        from .ops.streamreduce import reduce_rows_perm
+
+        seg = _host_factor_rows(problem, fname, s, vt_name)
+        return reduce_rows_perm(problem, tag, contrib, seg, n_seg, gdt)[:-1]
+    return jax.ops.segment_sum(
+        contrib, fa.rows[s], num_segments=n_seg,
+    )[:-1]
+
+
 def _apply_precision(fa: FactorArrays, J3: jax.Array, acc_dtype) -> jax.Array:
     """P @ J per factor on a (F, E, d) block; identity short-circuits."""
     if fa.precision is None:
@@ -277,7 +309,8 @@ def linearize(problem: Problem, params) -> Linearization:
     # 2. Jacobi scaling (graph.hpp:254-281): diag of unscaled J^T dL P J.
     # Accumulated per vertex type in row form ((F,d) -> (n_rows+1,d) with a
     # trash row), then flattened — row-shaped segment reductions are ~6x
-    # faster than flat scalar scatters on TPU.
+    # faster than flat scalar scatters on TPU; landmark-sized destination
+    # sets route through the streaming kernel (ops/streamreduce.py).
     diag_rows: Dict[str, jax.Array] = {}
     for name, fm in problem.factor_meta.items():
         fa = problem.data.factors[name]
@@ -289,10 +322,9 @@ def linearize(problem: Problem, params) -> Linearization:
             contrib = jnp.einsum(
                 "fec,fec->fc", Ji, PJ, preferred_element_type=acc
             ) * dL[:, None]
-            acc_rows = jax.ops.segment_sum(
-                contrib.astype(gdt), fa.rows[s],
-                num_segments=problem.seg_rows[vt.name] + 1,
-            )[:-1]
+            acc_rows = _factor_row_reduce(
+                problem, ("lindiag", name, s), contrib.astype(gdt),
+                fa, name, s, vt.name, gdt)
             prev = diag_rows.get(vt.name)
             diag_rows[vt.name] = acc_rows if prev is None else prev + acc_rows
 
@@ -346,10 +378,9 @@ def linearize(problem: Problem, params) -> Linearization:
             contrib = -jnp.einsum(
                 "fec,fe->fc", Ji, w.astype(acc), preferred_element_type=acc
             )
-            acc_rows = jax.ops.segment_sum(
-                contrib.astype(gdt), fa.rows[s],
-                num_segments=problem.seg_rows[vt.name] + 1,
-            )[:-1]
+            acc_rows = _factor_row_reduce(
+                problem, ("linb", name, s), contrib.astype(gdt),
+                fa, name, s, vt.name, gdt)
             prev = b_rows.get(vt.name)
             b_rows[vt.name] = acc_rows if prev is None else prev + acc_rows
     b = problem.allreduce(problem.flat_from_rows(b_rows))

@@ -312,18 +312,26 @@ def _expansion_onehots(m: int, kdim: int, n: int):
     return P, Q
 
 
-def _expansion_onehots_slice(m: int, kdim: int, n: int, b: int):
-    """One contraction slice of `_expansion_onehots`: P_b (m*k, m*n) with
-    P_b[a*k+b, a*n+dd] = 1 and Q_b (n*k, m*n) with Q_b[dd*k+b, a*n+dd] = 1,
+def _expansion_onehots_slice(m: int, kdim: int, n: int, b: int,
+                             lw: int | None = None, rw: int | None = None):
+    """One contraction slice of `_expansion_onehots`: P_b (lw, m*n) with
+    P_b[a*k+b, a*n+dd] = 1 and Q_b (rw, m*n) with Q_b[dd*k+b, a*n+dd] = 1,
     so prod = sum_b (L @ P_b) * (R @ Q_b). Slicing keeps the kernel's
     VMEM temporaries at (chunk, m*n) instead of (chunk, k*m*n) — the
     difference between fitting and blowing the scoped-VMEM limit at
-    Venice-Final scale."""
+    Venice-Final scale.
+
+    ``lw``/``rw`` >= m*k / n*k allow WIDTH-PADDED factor rows (padding a
+    27-float row to a fast-gather width): rows past the live block never
+    match the iota comparison, so the dead lanes contribute exact zeros
+    with no in-kernel slicing."""
     d = m * n
-    row_l = jax.lax.broadcasted_iota(jnp.int32, (m * kdim, d), 0)
-    row_r = jax.lax.broadcasted_iota(jnp.int32, (n * kdim, d), 0)
-    col_l = jax.lax.broadcasted_iota(jnp.int32, (m * kdim, d), 1)
-    col_r = jax.lax.broadcasted_iota(jnp.int32, (n * kdim, d), 1)
+    lw = m * kdim if lw is None else lw
+    rw = n * kdim if rw is None else rw
+    row_l = jax.lax.broadcasted_iota(jnp.int32, (lw, d), 0)
+    row_r = jax.lax.broadcasted_iota(jnp.int32, (rw, d), 0)
+    col_l = jax.lax.broadcasted_iota(jnp.int32, (lw, d), 1)
+    col_r = jax.lax.broadcasted_iota(jnp.int32, (rw, d), 1)
     P = (row_l == (col_l // n) * kdim + b).astype(jnp.float32)
     Q = (row_r == (col_r % n) * kdim + b).astype(jnp.float32)
     return P, Q
@@ -331,7 +339,7 @@ def _expansion_onehots_slice(m: int, kdim: int, n: int, b: int):
 
 def _kernel_prod(starts_ref, nflush_ref, bases_ref, left_ref, right_ref,
                  seg_ref, out_ref, acc_ref, sem, *, chunk, w_pad, f, a,
-                 n_chunks, m, kdim, n, d_pad):
+                 n_chunks, m, kdim, n, d_pad, lw, rw):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -367,7 +375,7 @@ def _kernel_prod(starts_ref, nflush_ref, bases_ref, left_ref, right_ref,
         right = right_ref[:].astype(jnp.float32)
         prod = None
         for b in range(kdim):
-            P, Q = _expansion_onehots_slice(m, kdim, n, b)
+            P, Q = _expansion_onehots_slice(m, kdim, n, b, lw=lw, rw=rw)
             lexp = jax.lax.dot_general(
                 left, P, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -400,11 +408,11 @@ def _kernel_prod(starts_ref, nflush_ref, bases_ref, left_ref, right_ref,
 @functools.partial(
     jax.jit, static_argnames=("chunk", "w_pad", "f", "a", "n_chunks",
                               "n_steps", "k_pad", "out_alloc",
-                              "num_segments", "m", "kdim", "n")
+                              "num_segments", "m", "kdim", "n", "lw", "rw")
 )
 def _run_prod(left_pad, right_pad, seg_pad, starts, nflush, bases, *, chunk,
               w_pad, f, a, n_chunks, n_steps, k_pad, out_alloc,
-              num_segments, m, kdim, n):
+              num_segments, m, kdim, n, lw, rw):
     d = m * n
     d_pad = _round_up(d, 128)
     last = n_chunks - 1
@@ -412,14 +420,14 @@ def _run_prod(left_pad, right_pad, seg_pad, starts, nflush, bases, *, chunk,
     out = pl.pallas_call(
         functools.partial(_kernel_prod, chunk=chunk, w_pad=w_pad, f=f, a=a,
                           n_chunks=n_chunks, m=m, kdim=kdim, n=n,
-                          d_pad=d_pad),
+                          d_pad=d_pad, lw=lw, rw=rw),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(n_steps,),
             in_specs=[
-                pl.BlockSpec((chunk, m * kdim),
+                pl.BlockSpec((chunk, lw),
                              lambda i, *s: (jnp.minimum(i, last), 0)),
-                pl.BlockSpec((chunk, n * kdim),
+                pl.BlockSpec((chunk, rw),
                              lambda i, *s: (jnp.minimum(i, last), 0)),
                 pl.BlockSpec((8, chunk),
                              lambda i, *s: (jnp.minimum(i, last) // 8, 0)),
@@ -455,6 +463,8 @@ def streaming_segment_product_sum(left: jax.Array, right: jax.Array,
     k_pad = plan["k_pad"]
     assert left.shape[0] == k_pad and right.shape[0] == k_pad, (
         "pass k_pad-padded gathered rows (pad rows -> trash segment)")
+    lw, rw = left.shape[1], right.shape[1]
+    assert lw >= m * k and rw >= n * k, "rows narrower than the block"
     if seg_pad is None:
         seg_pad = jnp.asarray(plan["seg_pad_2d"])
     if starts is None:
@@ -468,7 +478,7 @@ def streaming_segment_product_sum(left: jax.Array, right: jax.Array,
         chunk=plan["chunk"], w_pad=plan["w_pad"], f=plan["f"], a=plan["a"],
         n_chunks=plan["n_chunks"], n_steps=plan["n_steps"],
         k_pad=k_pad, out_alloc=plan["out_alloc"],
-        num_segments=plan["num_segments"], m=m, kdim=k, n=n,
+        num_segments=plan["num_segments"], m=m, kdim=k, n=n, lw=lw, rw=rw,
     ).astype(left.dtype)
 
 

@@ -50,6 +50,17 @@ from .ops.blockfmt import (
     unflatten_blocks,
 )
 from .ops.chunked import scan_accumulate, scan_map
+# Shared gather-aware reduction helpers; underscore aliases kept so tests
+# can monkeypatch via this namespace.
+from .ops.streamreduce import (
+    get_stream_plan as _get_stream_plan,
+    mapped_rows as _mapped_rows,
+    maybe_rows as _maybe_rows,
+    reduce_rows as _reduce_rows,
+    reduce_rows_perm as _reduce_rows_perm,
+    stream_consts as _stream_consts,
+    use_pallas as _use_pallas,
+)
 
 # Above this row count, block-batch products run in lax.scan chunks to bound
 # transients. The flat 2-D VPU products (ops/blockfmt.py) have no tile-padded
@@ -565,6 +576,27 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
                 # the two-pass handoff.
                 fused = not _os.environ.get("GRAPHITE_TPU_NO_FUSED_STREAM")
 
+                # XLA's row gather flips to a fast path at >= 256 row
+                # bytes (64 f32 lanes): 90-113 GB/s vs 11 GB/s below
+                # (tools/gather_width_probe.py). The 17M-pair W / Hpl
+                # gathers dominate this stage, so factor rows narrower
+                # than 64 lanes are zero-padded once; the kernel's
+                # expansion one-hots ignore dead lanes exactly.
+                wide = GATHER_WIDE_LANES
+                Wg_src = Wsrc
+                Rg_src = Rsrc.astype(inv_dt)
+                if fused and dpa * dl < wide:
+                    Wg_src = jnp.concatenate(
+                        [Wsrc, jnp.zeros(
+                            (Wsrc.shape[0], wide - dpa * dl), Wsrc.dtype)],
+                        axis=1)
+                if fused and dpb * dl < wide:
+                    Rg_src = jnp.concatenate(
+                        [Rg_src, jnp.zeros(
+                            (Rg_src.shape[0], wide - dpb * dl),
+                            Rg_src.dtype)],
+                        axis=1)
+
                 def prod_chunk(chunk_arrays, dpa=dpa, dl=dl, dpb=dpb,
                                Wsrc=Wsrc, Rsrc=Rsrc):
                     li, ri = chunk_arrays
@@ -597,7 +629,7 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
                     )
                     if fused:
                         acc = streaming_segment_product_sum(
-                            Wsrc[li], Rsrc[ri].astype(inv_dt), plan,
+                            Wg_src[li], Rg_src[ri], plan,
                             dpa, dl, dpb, **stream_consts,
                         )
                     else:
@@ -710,6 +742,11 @@ def _plan_sharded_partition(problem, gi, pg, nsh):
 # transient to ~0.7 GB f32 at 9x9 blocks
 STREAM_PART_ROWS = 1 << 21
 
+# XLA's TPU row gather runs at 90-113 GB/s when rows are >= 64 f32 lanes
+# (256 B) and ~11 GB/s below (tools/gather_width_probe.py) — factor rows
+# feeding the 17M-pair gathers are zero-padded to this width
+GATHER_WIDE_LANES = 64
+
 
 def _plan_stream_parts(problem, ss, gi, pg, ns, inv_dt):
     """Freeze-time plan (cached) for the HBM-streamed product scatter:
@@ -762,18 +799,6 @@ def _plan_stream_parts(problem, ss, gi, pg, ns, inv_dt):
     return cache[gi]
 
 
-def _use_pallas(problem, dtype, sharded_ok: bool = False) -> bool:
-    import os
-
-    if os.environ.get("GRAPHITE_TPU_NO_PALLAS"):
-        return False
-    if problem.psum_axis is not None and not sharded_ok:
-        # inside shard_map most kernels keep the portable path; the
-        # dst-partitioned product stage passes sharded_ok (its plan is
-        # SPMD-uniform by construction)
-        return False
-    return (jax.default_backend() not in ("cpu",)
-            and jnp.dtype(dtype) == jnp.dtype(jnp.float32))
 
 
 def _product_scatter(problem, ss, gi, pg, prod_flat, inv_dt):
@@ -804,138 +829,6 @@ def _product_scatter(problem, ss, gi, pg, prod_flat, inv_dt):
     )
 
 
-# Byte budget for scan_map product chunks feeding the streaming reduction
-# (bounds each step's gathered-row transient; the full (K, D) product
-# buffer is narrow and lives once in HBM).
-_MAP_BYTES = 64 << 20
-
-
-def _map_chunk_rows(row_bytes: int, align: int = 2048) -> int:
-    rows = max(_MAP_BYTES // max(row_bytes, 1), align)
-    return (rows // align) * align
-
-
-def _get_stream_plan(problem, tag, seg: np.ndarray, num_segments: int,
-                     dtype, chunk: int = 2048):
-    """Cached streaming-segsum plan for a destination-sorted reduction
-    site, or None when the site must use XLA's segment_sum (CPU backend,
-    inside shard_map, non-f32, unsorted segments, or infeasible window).
-
-    On-chip at Venice-Final scale the streaming kernel reduces
-    (5M, D) -> 1M segments in ~21 ms vs ~229 ms for XLA's scatter-add
-    (tools/venice_microbench.py) — this is the TPU restatement of the
-    reference's atomicAdd scatters (ops/schur.hpp:190-263).
-    """
-    if not _use_pallas(problem, dtype):
-        return None
-    plans = problem._cache.setdefault("stream_site_plans", {})
-    if tag not in plans:
-        from .ops.pallas.segsum_stream import plan_streaming_segsum
-
-        seg = np.asarray(seg)
-        if seg.size == 0 or np.any(np.diff(seg) < 0):
-            plans[tag] = dict(feasible=False)
-        else:
-            plans[tag] = plan_streaming_segsum(
-                seg.astype(np.int32), num_segments, chunk=chunk)
-    p = plans[tag]
-    return p if p.get("feasible") else None
-
-
-def _stream_consts(problem, tag, plan) -> dict:
-    return dict(
-        seg_pad=problem.const(tag + ("seg",), plan["seg_pad_2d"]),
-        starts=problem.const(tag + ("starts",), plan["starts"]),
-        nflush=problem.const(tag + ("nflush",), plan["nflush"]),
-        bases=problem.const(tag + ("bases",), plan["bases"]),
-    )
-
-
-def _mapped_rows(body, arrays, k: int, row_bytes: int):
-    """body(arrays) -> (k, D) rows, scan-chunked above the byte budget so
-    gather transients stay bounded."""
-    chunk = _map_chunk_rows(row_bytes)
-    if k <= chunk:
-        return body(arrays)
-    return scan_map(body, arrays, k, chunk)
-
-
-def _maybe_rows(problem, tag, arr, idx: np.ndarray):
-    """arr[idx] with identity gathers ELIMINATED: on chip a (5M, 27) row
-    gather costs ~115-182 ms even for monotone indices while the array
-    itself is free (tools/gather_micro.py); the CSC-ordered structures
-    make many hot index arrays exactly iota."""
-    idx = np.asarray(idx)
-    ident = problem._cache.setdefault("identity_idx", {})
-    if tag not in ident:
-        ident[tag] = bool(
-            arr.shape[0] == idx.shape[0]
-            and (idx.size == 0
-                 or (idx[0] == 0 and idx[-1] == idx.size - 1
-                     and np.array_equal(
-                         idx, np.arange(idx.size, dtype=idx.dtype))))
-        )
-    if ident[tag]:
-        return arr
-    return arr[problem.const(tag, idx.astype(np.int32))]
-
-
-def _reduce_rows(problem, tag, y, seg: np.ndarray, num_segments: int,
-                 dtype):
-    """(K, D) product rows -> (num_segments, D) via the streaming Pallas
-    kernel when the destination is sorted + feasible (21 ms vs 229 ms at
-    Venice shapes for ~1M segments), else ONE XLA segment_sum (cheap for
-    few segments: 44 ms into 1.8k rows at the same K)."""
-    plan = _get_stream_plan(problem, tag + ("stream",), seg, num_segments,
-                            dtype, chunk=_STREAM_CHUNK)
-    if plan is not None:
-        from .ops.pallas.segsum_stream import streaming_segment_sum
-
-        return streaming_segment_sum(
-            y, plan, **_stream_consts(problem, tag, plan)
-        ).astype(y.dtype)
-    return jax.ops.segment_sum(
-        y, problem.const(tag + ("seg",), seg.astype(np.int32)),
-        num_segments=num_segments,
-    )
-
-
-_STREAM_CHUNK = 2048
-
-# Below this many segments one XLA segment_sum beats permute+stream
-# (44 ms into 1.8k rows vs 229 ms into 1M at K=5M, tools/gather_micro.py)
-_STREAM_MIN_SEGMENTS = 65536
-
-
-def _reduce_rows_perm(problem, tag, y, seg: np.ndarray, num_segments: int,
-                      dtype):
-    """Like `_reduce_rows` for UNSORTED destinations with MANY segments:
-    fold a freeze-time sort permutation into one narrow row gather of the
-    product rows, then stream. Below `_STREAM_MIN_SEGMENTS` (or when the
-    kernel is unavailable) one XLA segment_sum wins instead."""
-    seg = np.asarray(seg)
-    if (num_segments < _STREAM_MIN_SEGMENTS
-            or not _use_pallas(problem, dtype)
-            or seg.size == 0 or np.all(np.diff(seg) >= 0)):
-        return _reduce_rows(problem, tag, y, seg, num_segments, dtype)
-    perms = problem._cache.setdefault("stream_site_perms", {})
-    if tag not in perms:
-        perms[tag] = hostops.stable_argsort(
-            seg.astype(np.int64), num_segments).astype(np.int32)
-    perm = perms[tag]
-    plan = _get_stream_plan(problem, tag + ("pstream",), seg[perm],
-                            num_segments, dtype, chunk=_STREAM_CHUNK)
-    if plan is None:
-        return jax.ops.segment_sum(
-            y, problem.const(tag + ("seg",), seg.astype(np.int32)),
-            num_segments=num_segments,
-        )
-    from .ops.pallas.segsum_stream import streaming_segment_sum
-
-    y_sorted = y[problem.const(tag + ("perm",), perm)]
-    return streaming_segment_sum(
-        y_sorted, plan, **_stream_consts(problem, tag + ("p",), plan)
-    ).astype(y.dtype)
 
 
 def _partition_blocks_by_type(ss: SchurStructure, block_ids: np.ndarray):

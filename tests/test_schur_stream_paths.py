@@ -17,6 +17,7 @@ import pytest
 import graphite_tpu as gt
 import graphite_tpu.ops.pallas.segsum as sg_mod
 import graphite_tpu.ops.pallas.segsum_stream as ss_mod
+import graphite_tpu.ops.streamreduce as sr_mod
 import graphite_tpu.schur as schur_mod
 from graphite_tpu.hessian import (
     apply_damping,
@@ -36,14 +37,17 @@ def _force_stream(monkeypatch):
     monkeypatch.setattr(ss_mod.pl, "pallas_call", interp)
     monkeypatch.setattr(sg_mod.pl, "pallas_call", interp)
     # small plan windows so the toy problem actually streams/flushes
-    orig = schur_mod._get_stream_plan
+    orig = sr_mod.get_stream_plan
 
-    def tiny_chunk(problem, tag, seg, num_segments, dtype, chunk=2048):
+    def tiny_chunk(problem, tag, seg, num_segments, dtype,
+                   chunk=sr_mod.STREAM_CHUNK):
         return orig(problem, tag, seg, num_segments, dtype, chunk=256)
 
+    always = lambda problem, dtype, sharded_ok=False: True  # noqa: E731
+    monkeypatch.setattr(sr_mod, "get_stream_plan", tiny_chunk)
+    monkeypatch.setattr(sr_mod, "use_pallas", always)
     monkeypatch.setattr(schur_mod, "_get_stream_plan", tiny_chunk)
-    monkeypatch.setattr(schur_mod, "_use_pallas",
-                        lambda problem, dtype, sharded_ok=False: True)
+    monkeypatch.setattr(schur_mod, "_use_pallas", always)
 
 
 def _setup(name="mini", precision=gt.FP32_FP32):

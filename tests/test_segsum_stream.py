@@ -112,6 +112,41 @@ def test_fused_product_matches_flat_block_mm(m, kk, n, k, ns, chunk):
                                rtol=1e-5, atol=1e-4)
 
 
+def test_fused_product_width_padded_rows():
+    """Factor rows padded to a fast-gather width: dead lanes must
+    contribute exact zeros (expansion one-hot rows never match)."""
+    from graphite_tpu.ops.blockfmt import flat_block_mm_nt
+    from graphite_tpu.ops.pallas.segsum_stream import (
+        streaming_segment_product_sum,
+    )
+
+    m = n = 9
+    kk = 3
+    k, ns, chunk = 3_000, 220, 512
+    lw = rw = 81  # live width 27, padded to the fast-gather width
+    rng = np.random.default_rng(5)
+    seg = np.sort(rng.integers(0, ns, size=k)).astype(np.int32)
+    left = rng.standard_normal((k, m * kk)).astype(np.float32)
+    right = rng.standard_normal((k, n * kk)).astype(np.float32)
+    plan = plan_streaming_segsum(seg, ns, chunk=chunk)
+    assert plan["feasible"]
+
+    def padw(a, w, rows):
+        out = np.full((rows, w), 7.7, dtype=np.float32)  # poison lanes
+        out[:a.shape[0], :a.shape[1]] = a
+        return out
+
+    out = streaming_segment_product_sum(
+        jnp.asarray(padw(left, lw, plan["k_pad"])),
+        jnp.asarray(padw(right, rw, plan["k_pad"])),
+        plan, m, kk, n)
+    ref = jax.ops.segment_sum(
+        flat_block_mm_nt(jnp.asarray(left), jnp.asarray(right), m, kk, n),
+        jnp.asarray(seg), num_segments=ns)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
 def test_infeasible_plan_reports():
     seg = np.arange(100_000, dtype=np.int32)  # multiplicity 1
     plan = plan_streaming_segsum(seg, 100_000, chunk=2048, vmem_rows=64)
