@@ -114,6 +114,41 @@ class FactorMeta:
     store_jacobians: bool
 
 
+class BlockVertexMap:
+    """Array-backed block-id -> (vertex type, local index) map.
+
+    Semantically the reference's per-block vertex bookkeeping
+    (graph.hpp:109-149); stored as two NumPy arrays (type code + local id)
+    because materializing one Python tuple per Hessian block is a
+    multi-second loop at Venice-Final scale (1.1M blocks). Indexing
+    returns the classic ``(name, local)`` tuple; vectorized consumers use
+    ``type_codes`` / ``local_ids`` / ``type_of`` directly.
+    """
+
+    def __init__(self, type_names, type_codes: np.ndarray,
+                 local_ids: np.ndarray):
+        self.type_names: List[str] = list(type_names)
+        self.type_codes = np.asarray(type_codes, dtype=np.int64)
+        self.local_ids = np.asarray(local_ids, dtype=np.int64)
+
+    def __len__(self) -> int:
+        return self.type_codes.shape[0]
+
+    def __getitem__(self, j):
+        return (self.type_names[int(self.type_codes[j])],
+                int(self.local_ids[j]))
+
+    def __iter__(self):
+        for t, l in zip(self.type_codes, self.local_ids):
+            yield (self.type_names[int(t)], int(l))
+
+    def type_of(self, ids=None) -> np.ndarray:
+        """Type NAMES per block id as a NumPy unicode array (vectorized)."""
+        names = np.asarray(self.type_names)
+        codes = self.type_codes if ids is None else self.type_codes[ids]
+        return names[codes]
+
+
 class Problem:
     """A frozen, jit-ready optimization problem.
 
@@ -145,7 +180,7 @@ class Problem:
         self.dim_h: int = dim_h
         self.pad: int = pad
         self.block_offsets: np.ndarray = block_offsets
-        self.block_vertex: List[Tuple[str, int]] = block_vertex
+        self.block_vertex: BlockVertexMap = block_vertex
         self.block_dims: np.ndarray = block_dims
         self.elimination_block: int = elimination_block
         self.elimination_col: int = elimination_col
@@ -653,7 +688,6 @@ class Graph:
         block_id = 0
         elimination_block = None
         block_offsets = []
-        block_vertex: List[Tuple[str, int]] = []
         block_dims: List[int] = []
         vertex_col_offset = {
             name: np.full(vs.count, -1, dtype=np.int64)
@@ -710,10 +744,13 @@ class Graph:
         block_id = n_active_total
         col = dim_h
 
-        # scatter results back per type + segment bookkeeping
+        # scatter results back per type + segment bookkeeping.
+        # block_vertex stays ARRAY-shaped (type code + local id per block):
+        # materializing 1M+ (name, local) tuples is a multi-second Python
+        # loop at Venice-Final scale, and every consumer is vectorizable.
         torder_sel = torder_cat[sel]
         local_sel = local_cat[sel]
-        block_vertex = [None] * n_active_total
+        block_vertex = BlockVertexMap(type_names, torder_sel, local_sel)
         for ti, name in enumerate(type_names):
             m = torder_sel == ti
             if not np.any(m):
@@ -729,9 +766,6 @@ class Graph:
             seg_rows[name] = int(locs.shape[0])
             row_vertex[name] = locs
             segment_order.append(name)
-            first_block = int(block_ids_sel[m][0])
-            for k, loc in enumerate(locs.tolist()):
-                block_vertex[first_block + k] = (name, loc)
         segment_order.sort(key=lambda n: seg_start[n])
         block_offsets.append(dim_h)
         if elimination_block is None:

@@ -11,11 +11,44 @@
 // NumPy fallback so the framework works without a compiler.
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
+
+// Worker-thread count for the embarrassingly-parallel passes. Defaults to
+// the host's hardware concurrency (the deployment shape has dozens of
+// cores; the CI container exposes one, where everything below degrades to
+// the serial path with zero thread overhead).
+int num_threads() {
+  static int n = [] {
+    if (const char *env = std::getenv("GRAPHITE_TPU_NATIVE_THREADS")) {
+      int v = std::atoi(env);
+      if (v > 0) return v;
+    }
+    unsigned hw = std::thread::hardware_concurrency();
+    return hw ? static_cast<int>(hw) : 1;
+  }();
+  return n;
+}
+
+// Run fn(t) on nt threads (t = 0..nt-1); serial when nt == 1.
+template <typename F>
+void parallel_for_threads(int nt, F fn) {
+  if (nt <= 1) {
+    fn(0);
+    return;
+  }
+  std::vector<std::thread> ts;
+  ts.reserve(static_cast<size_t>(nt) - 1);
+  for (int t = 1; t < nt; ++t) ts.emplace_back(fn, t);
+  fn(0);
+  for (auto &th : ts) th.join();
+}
 
 // LSD radix sort on non-negative int64 keys (11-bit digits), sorting only
 // the digits needed for the maximum key. Payload-free.
@@ -47,6 +80,56 @@ void radix_sort(int64_t *keys, int64_t n, std::vector<int64_t> &tmp) {
   if (src != keys) std::memcpy(keys, src, static_cast<size_t>(n) * 8);
 }
 
+// Parallel sort of non-negative int64 keys: per-chunk radix sorts on
+// worker threads, then log2(chunks) rounds of pairwise merges (each round
+// merges disjoint run pairs in parallel). Falls back to the serial radix
+// sort for one thread / small n.
+void parallel_radix_sort(int64_t *keys, int64_t n) {
+  constexpr int64_t kMinChunk = int64_t(1) << 19;
+  int nt = num_threads();
+  if (n < 2 * kMinChunk) nt = 1;
+  if (nt > 1 && n / nt < kMinChunk) nt = static_cast<int>(n / kMinChunk);
+  if (nt <= 1) {
+    std::vector<int64_t> tmp;
+    radix_sort(keys, n, tmp);
+    return;
+  }
+  const int64_t chunk = (n + nt - 1) / nt;
+  std::vector<std::pair<int64_t, int64_t>> runs;
+  for (int64_t lo = 0; lo < n; lo += chunk)
+    runs.emplace_back(lo, std::min(lo + chunk, n));
+  parallel_for_threads(static_cast<int>(runs.size()), [&](int t) {
+    std::vector<int64_t> tmp;
+    radix_sort(keys + runs[t].first, runs[t].second - runs[t].first, tmp);
+  });
+  std::vector<int64_t> buf(static_cast<size_t>(n));
+  int64_t *src = keys;
+  int64_t *dst = buf.data();
+  while (runs.size() > 1) {
+    std::vector<std::pair<int64_t, int64_t>> next;
+    for (size_t i = 0; i < runs.size(); i += 2) {
+      if (i + 1 < runs.size())
+        next.emplace_back(runs[i].first, runs[i + 1].second);
+      else
+        next.emplace_back(runs[i]);
+    }
+    parallel_for_threads(static_cast<int>(next.size()), [&](int t) {
+      const size_t i = static_cast<size_t>(t) * 2;
+      if (i + 1 < runs.size()) {
+        std::merge(src + runs[i].first, src + runs[i].second,
+                   src + runs[i + 1].first, src + runs[i + 1].second,
+                   dst + runs[i].first);
+      } else {
+        std::memcpy(dst + runs[i].first, src + runs[i].first,
+                    static_cast<size_t>(runs[i].second - runs[i].first) * 8);
+      }
+    });
+    runs.swap(next);
+    std::swap(src, dst);
+  }
+  if (src != keys) std::memcpy(keys, src, static_cast<size_t>(n) * 8);
+}
+
 }  // namespace
 
 extern "C" {
@@ -56,8 +139,7 @@ extern "C" {
 int64_t gx_sort_unique(const int64_t *codes, int64_t n, int64_t *out) {
   if (n == 0) return 0;
   std::memcpy(out, codes, static_cast<size_t>(n) * 8);
-  std::vector<int64_t> tmp;
-  radix_sort(out, n, tmp);
+  parallel_radix_sort(out, n);
   int64_t ns = 1;
   for (int64_t i = 1; i < n; ++i)
     if (out[i] != out[ns - 1]) out[ns++] = out[i];
@@ -67,10 +149,16 @@ int64_t gx_sort_unique(const int64_t *codes, int64_t n, int64_t *out) {
 // np.searchsorted(sorted, q, side='left') for each query.
 void gx_searchsorted(const int64_t *sorted, int64_t n, const int64_t *q,
                      int64_t m, int64_t *pos) {
-  for (int64_t i = 0; i < m; ++i) {
-    const int64_t *it = std::lower_bound(sorted, sorted + n, q[i]);
-    pos[i] = it - sorted;
-  }
+  int nt = num_threads();
+  if (m < (int64_t(1) << 20)) nt = 1;
+  const int64_t chunk = (m + nt - 1) / nt;
+  parallel_for_threads(nt, [&](int t) {
+    const int64_t lo = t * chunk, hi = std::min(lo + chunk, m);
+    for (int64_t i = lo; i < hi; ++i) {
+      const int64_t *it = std::lower_bound(sorted, sorted + n, q[i]);
+      pos[i] = it - sorted;
+    }
+  });
 }
 
 // Stable sort of the Hpl attach list by (lm, pose): counting sort over lm
@@ -87,15 +175,32 @@ int64_t gx_attach_sort(const int64_t *att_lm, const int64_t *att_pose,
   for (int64_t l = 0; l < n_lm; ++l) off[l + 1] = off[l] + counts[l];
   std::vector<int64_t> cursor(off.begin(), off.end() - 1);
   for (int64_t i = 0; i < K; ++i) order[cursor[att_lm[i]]++] = i;
-  int64_t total_pairs = 0;
-  for (int64_t l = 0; l < n_lm; ++l) {
-    int64_t s = off[l], c = counts[l];
-    std::stable_sort(order + s, order + s + c,
-                     [att_pose](int64_t a, int64_t b) {
-                       return att_pose[a] < att_pose[b];
-                     });
-    total_pairs += c * (c + 1) / 2;
+  // In-segment sorts are independent per landmark: partition landmarks
+  // into contiguous ranges of ~equal ELEMENT count per worker thread.
+  int nt = num_threads();
+  if (K < (int64_t(1) << 20)) nt = 1;
+  std::vector<int64_t> bounds(static_cast<size_t>(nt) + 1, n_lm);
+  bounds[0] = 0;
+  for (int t = 1; t < nt; ++t) {
+    const int64_t target = K * t / nt;
+    bounds[t] = std::lower_bound(off.begin(), off.end(), target)
+                - off.begin();
   }
+  std::vector<int64_t> pair_counts(static_cast<size_t>(nt), 0);
+  parallel_for_threads(nt, [&](int t) {
+    int64_t local = 0;
+    for (int64_t l = bounds[t]; l < bounds[t + 1]; ++l) {
+      const int64_t s = off[l], c = counts[l];
+      std::stable_sort(order + s, order + s + c,
+                       [att_pose](int64_t a, int64_t b) {
+                         return att_pose[a] < att_pose[b];
+                       });
+      local += c * (c + 1) / 2;
+    }
+    pair_counts[t] = local;
+  });
+  int64_t total_pairs = 0;
+  for (int t = 0; t < nt; ++t) total_pairs += pair_counts[t];
   return total_pairs;
 }
 
@@ -107,20 +212,40 @@ int64_t gx_attach_sort(const int64_t *att_lm, const int64_t *att_pose,
 void gx_pair_fill(const int64_t *counts, int64_t n_lm,
                   const int64_t *att_pose_s, int64_t n_pose, int64_t *ai,
                   int64_t *bi, int64_t *pair_lm, int64_t *pair_codes) {
-  int64_t p = 0, seg = 0;
+  // Per-landmark segment + pair offsets (linear prefix scans), then the
+  // fill runs in parallel over landmark ranges.
+  std::vector<int64_t> seg_off(static_cast<size_t>(n_lm) + 1, 0);
+  std::vector<int64_t> pair_off(static_cast<size_t>(n_lm) + 1, 0);
   for (int64_t l = 0; l < n_lm; ++l) {
-    const int64_t c = counts[l];
-    for (int64_t jj = 0; jj < c; ++jj) {
-      const int64_t pb = att_pose_s[seg + jj];
-      for (int64_t ii = 0; ii <= jj; ++ii, ++p) {
-        ai[p] = seg + ii;
-        bi[p] = seg + jj;
-        pair_lm[p] = l;
-        pair_codes[p] = pb * n_pose + att_pose_s[seg + ii];
+    seg_off[l + 1] = seg_off[l] + counts[l];
+    pair_off[l + 1] = pair_off[l] + counts[l] * (counts[l] + 1) / 2;
+  }
+  const int64_t total = pair_off[n_lm];
+  int nt = num_threads();
+  if (total < (int64_t(1) << 20)) nt = 1;
+  parallel_for_threads(nt, [&](int t) {
+    const int64_t lo_l = std::lower_bound(pair_off.begin(), pair_off.end(),
+                                          total * t / nt)
+                         - pair_off.begin();
+    const int64_t hi_l =
+        std::lower_bound(pair_off.begin(), pair_off.end(),
+                         total * (t + 1) / nt)
+        - pair_off.begin();
+    for (int64_t l = lo_l; l < hi_l && l < n_lm; ++l) {
+      const int64_t c = counts[l];
+      const int64_t seg = seg_off[l];
+      int64_t p = pair_off[l];
+      for (int64_t jj = 0; jj < c; ++jj) {
+        const int64_t pb = att_pose_s[seg + jj];
+        for (int64_t ii = 0; ii <= jj; ++ii, ++p) {
+          ai[p] = seg + ii;
+          bi[p] = seg + jj;
+          pair_lm[p] = l;
+          pair_codes[p] = pb * n_pose + att_pose_s[seg + ii];
+        }
       }
     }
-    seg += c;
-  }
+  });
 }
 
 }  // extern "C"
@@ -312,23 +437,41 @@ void gx_pair_fill2(const int64_t *counts, int64_t n_lm,
                    const int64_t *att_pose_s, int64_t n_pose, int32_t *ai,
                    int32_t *bi, int32_t *pair_lm, int64_t *pair_codes,
                    int32_t *pose_a, int32_t *pose_b) {
-  int64_t p = 0, seg = 0;
+  std::vector<int64_t> seg_off(static_cast<size_t>(n_lm) + 1, 0);
+  std::vector<int64_t> pair_off(static_cast<size_t>(n_lm) + 1, 0);
   for (int64_t l = 0; l < n_lm; ++l) {
-    const int64_t c = counts[l];
-    for (int64_t jj = 0; jj < c; ++jj) {
-      const int64_t pb = att_pose_s[seg + jj];
-      for (int64_t ii = 0; ii <= jj; ++ii, ++p) {
-        const int64_t pa = att_pose_s[seg + ii];
-        ai[p] = static_cast<int32_t>(seg + ii);
-        bi[p] = static_cast<int32_t>(seg + jj);
-        pair_lm[p] = static_cast<int32_t>(l);
-        pose_a[p] = static_cast<int32_t>(pa);
-        pose_b[p] = static_cast<int32_t>(pb);
-        pair_codes[p] = pb * n_pose + pa;
+    seg_off[l + 1] = seg_off[l] + counts[l];
+    pair_off[l + 1] = pair_off[l] + counts[l] * (counts[l] + 1) / 2;
+  }
+  const int64_t total = pair_off[n_lm];
+  int nt = num_threads();
+  if (total < (int64_t(1) << 20)) nt = 1;
+  parallel_for_threads(nt, [&](int t) {
+    const int64_t lo_l = std::lower_bound(pair_off.begin(), pair_off.end(),
+                                          total * t / nt)
+                         - pair_off.begin();
+    const int64_t hi_l =
+        std::lower_bound(pair_off.begin(), pair_off.end(),
+                         total * (t + 1) / nt)
+        - pair_off.begin();
+    for (int64_t l = lo_l; l < hi_l && l < n_lm; ++l) {
+      const int64_t c = counts[l];
+      const int64_t seg = seg_off[l];
+      int64_t p = pair_off[l];
+      for (int64_t jj = 0; jj < c; ++jj) {
+        const int64_t pb = att_pose_s[seg + jj];
+        for (int64_t ii = 0; ii <= jj; ++ii, ++p) {
+          const int64_t pa = att_pose_s[seg + ii];
+          ai[p] = static_cast<int32_t>(seg + ii);
+          bi[p] = static_cast<int32_t>(seg + jj);
+          pair_lm[p] = static_cast<int32_t>(l);
+          pose_a[p] = static_cast<int32_t>(pa);
+          pose_b[p] = static_cast<int32_t>(pb);
+          pair_codes[p] = pb * n_pose + pa;
+        }
       }
     }
-    seg += c;
-  }
+  });
 }
 
 }  // extern "C"

@@ -32,7 +32,7 @@ def _pose_type_rows(problem, ss):
     if "bjs_rows" not in cache:
         out = {}
         pose_ids = np.arange(ss.n_pose_blocks)
-        types = np.asarray([ss.block_type[p] for p in pose_ids])
+        types = np.asarray(ss.block_type)[pose_ids]
         for t in np.unique(types):
             sel = pose_ids[types == t]
             rows = ss.block_row[sel]
@@ -85,7 +85,7 @@ def dense_preconditioner_matrix(problem, ss, state: BlockJacobiSchurState,
     if "bjs_dense_idx" not in cache:
         out = {}
         pose_ids = np.arange(ss.n_pose_blocks)
-        types = np.asarray([ss.block_type[p] for p in pose_ids])
+        types = np.asarray(ss.block_type)[pose_ids]
         for t in np.unique(types):
             sel = pose_ids[types == t]
             rows = ss.block_row[sel]

@@ -118,7 +118,7 @@ class SchurStructure:
     s_diag_key: np.ndarray  # (n_pose_blocks,) index into s_keys
     s_diag_idx: np.ndarray
     # block -> (vertex type, row-in-type-segment) for row-shaped IO
-    block_type: List[str]  # (n_blocks_total,)
+    block_type: np.ndarray  # (n_blocks_total,) unicode type names
     block_row: np.ndarray  # (n_blocks_total,)
 
 
@@ -322,15 +322,16 @@ def build_schur_structure(problem) -> SchurStructure:
     s_diag_key = np.where(found, s_group_of[pos_c], -1).astype(np.int64)
     s_diag_idx = np.where(found, s_index_in_group[pos_c], 0).astype(np.int64)
 
-    # --- block -> (type, row) for row-shaped vector IO ---
-    block_type = [problem.block_vertex[j][0] for j in range(nb_total)]
-    block_row = np.asarray(
-        [
-            problem.host.vertex_active_row[name][local]
-            for name, local in problem.block_vertex
-        ],
-        dtype=np.int64,
-    )
+    # --- block -> (type, row) for row-shaped vector IO (vectorized:
+    # per-block Python tuples cost seconds at 1.1M blocks) ---
+    bv = problem.block_vertex
+    block_type = bv.type_of()
+    block_row = np.empty(nb_total, dtype=np.int64)
+    for ti, tname in enumerate(bv.type_names):
+        m = bv.type_codes == ti
+        if np.any(m):
+            block_row[m] = (
+                problem.host.vertex_active_row[tname][bv.local_ids[m]])
 
     ss = SchurStructure(
         dim_p=dim_p,
@@ -407,6 +408,14 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
             hvals[hkey][problem.const(("hpp_h", hi), h_idx)].astype(inv_dt)
         )
 
+    # Probe hook (tools/schur_stage_probe.py): stop after the Hpp copy +
+    # Hll^{-1} (+ optionally cap the streamed parts below) to attribute
+    # the stage's on-chip time. Wrong results by design — timing only.
+    import os as _os
+    _front_only = bool(_os.environ.get("GRAPHITE_TPU_SCHUR_FRONT_ONLY"))
+    _max_parts = int(_os.environ.get("GRAPHITE_TPU_SCHUR_MAX_PARTS", "0")
+                     or 0)
+
     # 3. Triple products (schur.hpp:649-734). First precompute
     # W = Hpl * Hll^{-1} once per Hpl BLOCK (one small gather), so each
     # product is W_left * Hpl_right^T — one fewer big gather per product
@@ -436,6 +445,14 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
         hpl_w[key] = _mapped_rows(
             w_body, (hpl_flat, lm_gidx), K,
             (dp * dl * 2 + dl * dl) * 4)
+
+    if _front_only:
+        # timing hook: hll_inv + Hpp copy + W only (S values incomplete;
+        # the 1e-30 taps keep every W batch live under DCE)
+        key0 = list(s_vals)[0]
+        for wkey in hpl_w:
+            s_vals[key0] = s_vals[key0] + hpl_w[wkey][0, 0] * 1e-30
+        return SchurValues(hll_inv=hll_inv, s_vals=s_vals)
 
     # Inside a factor-sharded shard_map with a known mesh size, the triple
     # products — the dominant stage at scale (schur.hpp:484-585: the work
@@ -606,6 +623,8 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
                     )
 
                 for p, part in enumerate(parts):
+                    if _max_parts and p >= _max_parts:
+                        break  # timing hook: cap streamed parts
                     plan = part["plan"]
                     li = problem.const(("stream_l", gi, p), part["left"])
                     ri = problem.const(("stream_r", gi, p), part["right"])
@@ -839,7 +858,7 @@ def _partition_blocks_by_type(ss: SchurStructure, block_ids: np.ndarray):
     partition per type (a single partition for the common one-pose-type /
     one-landmark-type case, so no overhead there).
     """
-    types = np.asarray([ss.block_type[b] for b in block_ids])
+    types = np.asarray(ss.block_type)[block_ids]
     out = []
     for t in np.unique(types):
         sel = np.nonzero(types == t)[0]
