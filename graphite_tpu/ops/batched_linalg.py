@@ -63,6 +63,43 @@ def spd_inverse(blocks: jax.Array) -> jax.Array:
     )
 
 
+def spd_inverse_flat(flat: jax.Array, d: int) -> jax.Array:
+    """`spd_inverse` on FLAT 2-D block storage: (N, d*d) -> (N, d*d).
+
+    For d <= 3 the closed form runs entirely on lane slices of the flat
+    array — no (N, d, d) view ever exists. A 3-D (N, 3, 3) batch is
+    tile-padded to (N, 8, 128) in HBM (~113x its logical bytes); at
+    Venice-Final scale (994k landmark blocks) the padded round trip
+    costs ~100+ ms while the flat form moves only 2 x 36 B/block
+    (ops/blockfmt.py invariant). Reference: schur.hpp:1067-1114.
+    """
+    if d == 1:
+        return 1.0 / flat
+    if d == 2:
+        a, b = flat[:, 0], flat[:, 1]
+        c, e = flat[:, 2], flat[:, 3]
+        inv_det = 1.0 / (a * e - b * c)
+        return jnp.stack(
+            [e * inv_det, -b * inv_det, -c * inv_det, a * inv_det], axis=1)
+    if d == 3:
+        m = [flat[:, i] for i in range(9)]
+        c00 = m[4] * m[8] - m[5] * m[7]
+        c01 = m[5] * m[6] - m[3] * m[8]
+        c02 = m[3] * m[7] - m[4] * m[6]
+        c10 = m[2] * m[7] - m[1] * m[8]
+        c11 = m[0] * m[8] - m[2] * m[6]
+        c12 = m[1] * m[6] - m[0] * m[7]
+        c20 = m[1] * m[5] - m[2] * m[4]
+        c21 = m[2] * m[3] - m[0] * m[5]
+        c22 = m[0] * m[4] - m[1] * m[3]
+        inv_det = 1.0 / (m[0] * c00 + m[1] * c01 + m[2] * c02)
+        # adjugate rows in row-major flat order (note the transpose)
+        cols = [c00, c10, c20, c01, c11, c21, c02, c12, c22]
+        return jnp.stack([c * inv_det for c in cols], axis=1)
+    n = flat.shape[0]
+    return spd_inverse(flat.reshape(n, d, d)).reshape(n, d * d)
+
+
 def spd_solve(blocks: jax.Array, rhs: jax.Array) -> jax.Array:
     """Solve a batch of small SPD systems; rhs shape (..., d)."""
     return jnp.einsum(

@@ -35,6 +35,31 @@ MAP_BYTES = 64 << 20
 
 STREAM_CHUNK = 2048
 
+# XLA's TPU row gather runs at 90-113 GB/s when rows are >= 64 f32 lanes
+# (256 B) and ~11 GB/s (per-row overhead dominated) below
+# (tools/gather_width_probe.py, tools/fused_kernel_variants.py). Hot
+# many-row gathers therefore read from lane-padded tables and slice the
+# live lanes back out (XLA fuses the slice into the consumer).
+WIDE_LANES = 64
+
+
+def wide_table(table, min_lanes: int = WIDE_LANES):
+    """Zero-pad a (N, d) row table to the fast-gather lane width.
+
+    The pad is fenced with ``optimization_barrier``: without it XLA fuses
+    the concat INTO the downstream gather, the wide buffer never
+    materializes, and the gather stays on the narrow-row slow path
+    (observed in situ: no speedup vs a 3x win with materialized inputs,
+    tools/fused_kernel_variants.py vs tools/schur_stage_probe.py).
+    """
+    d = table.shape[1]
+    if d >= min_lanes:
+        return table
+    padded = jnp.concatenate(
+        [table, jnp.zeros((table.shape[0], min_lanes - d), table.dtype)],
+        axis=1)
+    return jax.lax.optimization_barrier(padded)
+
 # Below this many segments one XLA segment_sum beats permute+stream
 # (44 ms into 1.8k rows vs 229 ms into 1M at K=5M).
 STREAM_MIN_SEGMENTS = 65536
@@ -160,7 +185,11 @@ def reduce_rows_perm(problem, tag, y, seg: np.ndarray, num_segments: int,
         )
     from .pallas.segsum_stream import streaming_segment_sum
 
-    y_sorted = y[problem.const(tag + ("perm",), perm)]
+    # the permutation gather is row-overhead-bound below 256-byte rows:
+    # pad to the fast-gather width (HBM layout is lane-tiled to 128
+    # either way), reduce wide, slice the live lanes back out
+    d = y.shape[1]
+    y_sorted = wide_table(y)[problem.const(tag + ("perm",), perm)]
     return streaming_segment_sum(
         y_sorted, plan, **stream_consts(problem, tag + ("p",), plan)
-    ).astype(y.dtype)
+    )[:, :d].astype(y.dtype)

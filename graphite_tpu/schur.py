@@ -42,17 +42,18 @@ import numpy as np
 from . import hostops
 from .graph import with_matmul_precision
 from .hessian import HessianValues, build_hessian_structure
-from .ops.batched_linalg import spd_inverse
+from .ops.batched_linalg import spd_inverse_flat
 from .ops.blockfmt import (
     flat_block_mm_nn,
     flat_block_mm_nt,
     flatten_blocks,
     unflatten_blocks,
 )
-from .ops.chunked import scan_accumulate, scan_map
+from .ops.chunked import scan_accumulate
 # Shared gather-aware reduction helpers; underscore aliases kept so tests
 # can monkeypatch via this namespace.
 from .ops.streamreduce import (
+    WIDE_LANES as _sr_WIDE_LANES,
     get_stream_plan as _get_stream_plan,
     mapped_rows as _mapped_rows,
     maybe_rows as _maybe_rows,
@@ -60,6 +61,7 @@ from .ops.streamreduce import (
     reduce_rows_perm as _reduce_rows_perm,
     stream_consts as _stream_consts,
     use_pallas as _use_pallas,
+    wide_table as _wide_table,
 )
 
 # Above this row count, block-batch products run in lax.scan chunks to bound
@@ -387,14 +389,14 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
     """
     inv_dt = problem.precision.inv_dtype
 
-    # 1. Hll^{-1} per dim group (schur.hpp:1067-1114).
+    # 1. Hll^{-1} per dim group (schur.hpp:1067-1114) — flat 2-D closed
+    # form (no tile-padded (N, d, d) transient) with identity gathers
+    # eliminated.
     hll_inv = {}
     for d in ss.lm_dims:
-        blocks = unflatten_blocks(
-            hvals[(d, d)][problem.const(("lm_h_idx", d), ss.lm_h_idx[d])],
-            d, d,
-        ).astype(inv_dt)
-        hll_inv[d] = flatten_blocks(spd_inverse(blocks))
+        hll_flat = _maybe_rows(problem, ("lm_h_idx", d), hvals[(d, d)],
+                               ss.lm_h_idx[d])
+        hll_inv[d] = spd_inverse_flat(hll_flat.astype(inv_dt), d)
 
     # 2. S storage: copy Hpp (schur.hpp:587-614).
     s_vals = {
@@ -412,9 +414,17 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
     # Hll^{-1} (+ optionally cap the streamed parts below) to attribute
     # the stage's on-chip time. Wrong results by design — timing only.
     import os as _os
-    _front_only = bool(_os.environ.get("GRAPHITE_TPU_SCHUR_FRONT_ONLY"))
+    # values: "1" = hll_inv + Hpp copy + W; "hll" = hll_inv + Hpp copy only
+    _front_only = _os.environ.get("GRAPHITE_TPU_SCHUR_FRONT_ONLY")
     _max_parts = int(_os.environ.get("GRAPHITE_TPU_SCHUR_MAX_PARTS", "0")
                      or 0)
+
+    if _front_only == "hll":
+        # timing hook: hll_inv + Hpp copy only (no W, no products)
+        key0 = list(s_vals)[0]
+        for d in hll_inv:
+            s_vals[key0] = s_vals[key0] + hll_inv[d][0, 0] * 1e-30
+        return SchurValues(hll_inv=hll_inv, s_vals=s_vals)
 
     # 3. Triple products (schur.hpp:649-734). First precompute
     # W = Hpl * Hll^{-1} once per Hpl BLOCK (one small gather), so each
@@ -434,13 +444,19 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
         )
         K = hpl_flat.shape[0]
 
-        def w_body(chunk_arrays, dp=dp, dl=dl, inv=hll_inv[dl]):
+        # the 5M-row Hll^{-1} lookup is a narrow (dl*dl-lane) gather —
+        # zero-pad the table once to the fast-gather width (>= 256-byte
+        # rows, tools/gather_width_probe.py) and slice the live lanes
+        # back out inside the product
+        inv_src = _wide_table(hll_inv[dl])
+
+        def w_body(chunk_arrays, dp=dp, dl=dl, inv=inv_src):
             # fused 2-D VPU block product: no 3-D tile-padded transient and
             # exact fp32 multiplies (ops/blockfmt.py); the Hll^{-1} row
             # lookup happens inside the chunk (small source table)
             hf, gi = chunk_arrays
-            return flat_block_mm_nn(hf.astype(inv_dt), inv[gi], dp, dl, dl,
-                                    acc_dtype=inv_dt)
+            return flat_block_mm_nn(hf.astype(inv_dt), inv[gi][:, :dl * dl],
+                                    dp, dl, dl, acc_dtype=inv_dt)
 
         hpl_w[key] = _mapped_rows(
             w_body, (hpl_flat, lm_gidx), K,
@@ -585,42 +601,26 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
                     streaming_segment_sum,
                 )
 
-                # fused path: the kernel computes the flat block product on
-                # the MXU inside the streaming pass, so only the two
-                # gathered (k_pad, d*k) factor buffers touch HBM — the
-                # (k_pad, dpa*dpb) product buffer of the scan_map handoff
-                # never exists (VERDICT r2 #1). Kill switch falls back to
-                # the two-pass handoff.
-                fused = not _os.environ.get("GRAPHITE_TPU_NO_FUSED_STREAM")
+                # In-kernel product fusion (streaming_segment_product_sum)
+                # is OPT-IN only: on-chip at a Venice part's shape the
+                # kernel costs ~163 ms while its own components — wide
+                # gather (2x16 ms) + XLA flat VPU product (~11 ms) +
+                # streaming segsum (7 ms) — total ~50 ms
+                # (tools/fused_kernel_variants.py). The expansion-matmul
+                # product inside the kernel loses 3x to letting XLA fuse
+                # the product into the gather output, even though the
+                # (k_pad, dpa*dpb) buffer makes one extra HBM round trip.
+                fused = bool(_os.environ.get("GRAPHITE_TPU_FUSED_STREAM"))
 
                 # XLA's row gather flips to a fast path at >= 256 row
                 # bytes (64 f32 lanes): 90-113 GB/s vs 11 GB/s below
                 # (tools/gather_width_probe.py). The 17M-pair W / Hpl
                 # gathers dominate this stage, so factor rows narrower
-                # than 64 lanes are zero-padded once; the kernel's
-                # expansion one-hots ignore dead lanes exactly.
-                wide = GATHER_WIDE_LANES
-                Wg_src = Wsrc
-                Rg_src = Rsrc.astype(inv_dt)
-                if fused and dpa * dl < wide:
-                    Wg_src = jnp.concatenate(
-                        [Wsrc, jnp.zeros(
-                            (Wsrc.shape[0], wide - dpa * dl), Wsrc.dtype)],
-                        axis=1)
-                if fused and dpb * dl < wide:
-                    Rg_src = jnp.concatenate(
-                        [Rg_src, jnp.zeros(
-                            (Rg_src.shape[0], wide - dpb * dl),
-                            Rg_src.dtype)],
-                        axis=1)
-
-                def prod_chunk(chunk_arrays, dpa=dpa, dl=dl, dpb=dpb,
-                               Wsrc=Wsrc, Rsrc=Rsrc):
-                    li, ri = chunk_arrays
-                    return flat_block_mm_nt(
-                        Wsrc[li], Rsrc[ri].astype(inv_dt), dpa, dl, dpb,
-                        acc_dtype=inv_dt,
-                    )
+                # than 64 lanes are zero-padded once; the product slices
+                # the live lanes back out (XLA fuses the slice), and the
+                # kernel's expansion one-hots ignore dead lanes exactly.
+                Wg_src = _wide_table(Wsrc)
+                Rg_src = _wide_table(Rsrc.astype(inv_dt))
 
                 for p, part in enumerate(parts):
                     if _max_parts and p >= _max_parts:
@@ -652,8 +652,14 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
                             dpa, dl, dpb, **stream_consts,
                         )
                     else:
-                        prod_flat = scan_map(prod_chunk, (li, ri),
-                                             plan["k_pad"], CHUNK)
+                        # default: one wide gather per factor (fast-path
+                        # row bytes), XLA-fused slice + flat VPU product,
+                        # then the streaming reduction
+                        prod_flat = flat_block_mm_nt(
+                            Wg_src[li][:, :dpa * dl],
+                            Rg_src[ri][:, :dpb * dl],
+                            dpa, dl, dpb, acc_dtype=inv_dt,
+                        )
                         acc = streaming_segment_sum(
                             prod_flat, plan, **stream_consts,
                         )
@@ -761,10 +767,6 @@ def _plan_sharded_partition(problem, gi, pg, nsh):
 # transient to ~0.7 GB f32 at 9x9 blocks
 STREAM_PART_ROWS = 1 << 21
 
-# XLA's TPU row gather runs at 90-113 GB/s when rows are >= 64 f32 lanes
-# (256 B) and ~11 GB/s below (tools/gather_width_probe.py) — factor rows
-# feeding the 17M-pair gathers are zero-padded to this width
-GATHER_WIDE_LANES = 64
 
 
 def _plan_stream_parts(problem, ss, gi, pg, ns, inv_dt):
@@ -945,7 +947,9 @@ class SchurOps:
                     sub = psel[lsel]
                     ck = ("bschur", key, pt, lt)
                     K = sub.shape[0]
-                    wlt = w[lt]
+                    # 5M-row lookup from the (n_lm, dl) solve table: pad
+                    # to the fast-gather width, slice live lanes inside
+                    wlt = _wide_table(w[lt])
                     # Natural (lm, pose)-sorted order: the Hpl gather is
                     # typically iota (eliminated) and the w gather is a
                     # narrow lookup from the small per-landmark solve
@@ -961,7 +965,8 @@ class SchurOps:
                         hf, lr = chunk_arrays
                         Hsub = unflatten_blocks(hf, dp, dl)
                         return jnp.einsum(
-                            "kab,kb->ka", Hsub.astype(wlt.dtype), wlt[lr]
+                            "kab,kb->ka", Hsub.astype(wlt.dtype),
+                            wlt[lr][:, :dl]
                         ).astype(gdt)
 
                     y = _mapped_rows(y_body, (Hsub_flat, lrow_c), K,
@@ -1003,7 +1008,7 @@ class SchurOps:
                     ck = ("smv", key, rt, ct)
                     K = sub.shape[0]
                     rrow_l = rrow[csel]
-                    x_ct = problem.rows_view(x, ct)
+                    x_ct = _wide_table(problem.rows_view(x, ct))
                     # Forward S x in natural CSC order: the wide S-block
                     # gather is typically iota (eliminated); the row-block
                     # destination is unsorted but has only ~n_pose
@@ -1016,7 +1021,7 @@ class SchurOps:
                               x_ct=x_ct):
                         sf, cr = chunk_arrays
                         Sg = unflatten_blocks(sf, dr_k, dc_k)
-                        xg = x_ct[cr].astype(Sg.dtype)
+                        xg = x_ct[cr][:, :dc_k].astype(Sg.dtype)
                         return jnp.einsum("krc,kc->kr", Sg, xg).astype(gdt)
 
                     y = _mapped_rows(y_fwd, (S_flat, crow_c), K,
@@ -1032,7 +1037,7 @@ class SchurOps:
                     if np.any(off):
                         o = np.nonzero(off)[0]
                         Ko = o.shape[0]
-                        x_rt = problem.rows_view(x, rt)
+                        x_rt = _wide_table(problem.rows_view(x, rt))
                         cko = ck + ("t",)
                         St_flat = _maybe_rows(problem, cko + ("sub",), S,
                                               sub[o])
@@ -1044,7 +1049,7 @@ class SchurOps:
                             sf, rr = chunk_arrays
                             St = jnp.swapaxes(
                                 unflatten_blocks(sf, dr_k, dc_k), -1, -2)
-                            xg2 = x_rt[rr].astype(St.dtype)
+                            xg2 = x_rt[rr][:, :dr_k].astype(St.dtype)
                             return jnp.einsum(
                                 "kcr,kr->kc", St, xg2).astype(gdt)
 
@@ -1081,7 +1086,7 @@ class SchurOps:
             lm_abs = ss.hpl_lm[key] + problem.elimination_block
             for pt, psel, prow in self._cached_partition(
                     f"hpl_pose_{key}", ss.hpl_pose[key]):
-                xrows = problem.rows_view(dx_p, pt)
+                xrows = _wide_table(problem.rows_view(dx_p, pt))
                 for lt, lsel, lrow in self._cached_partition(
                         f"hpl_lm_{key}_{pt}", lm_abs[psel]):
                     sub = psel[lsel]
@@ -1102,7 +1107,7 @@ class SchurOps:
                         Hsub = unflatten_blocks(hf, dp, dl)
                         return jnp.einsum(
                             "kab,ka->kb", Hsub.astype(gdt),
-                            xrows[pr].astype(gdt),
+                            xrows[pr][:, :dp].astype(gdt),
                         )
 
                     y = _mapped_rows(y_body, (Hsub_flat, pr_c), K,

@@ -44,3 +44,19 @@ def test_mv_matches_einsum():
     np.testing.assert_allclose(np.asarray(out),
                                np.einsum("nmk,nk->nm", A, x),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_spd_inverse_flat_matches_3d():
+    from graphite_tpu.ops.batched_linalg import spd_inverse, spd_inverse_flat
+    rng = np.random.default_rng(1)
+    for d in (1, 2, 3, 6):
+        A = rng.standard_normal((50, d, d))
+        spd = (A @ A.transpose(0, 2, 1)
+               + 3.0 * np.eye(d)[None]).astype(np.float64)
+        ref = np.asarray(spd_inverse(jnp.asarray(spd)))
+        out = np.asarray(spd_inverse_flat(
+            jnp.asarray(spd.reshape(50, d * d)), d)).reshape(50, d, d)
+        np.testing.assert_allclose(out, ref, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(
+            out @ spd, np.broadcast_to(np.eye(d), (50, d, d)),
+            rtol=1e-8, atol=1e-9)

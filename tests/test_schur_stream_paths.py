@@ -98,3 +98,28 @@ def test_stream_paths_match_fallback(_force_stream):
     np.testing.assert_allclose(b_s, b_s2, rtol=1e-5, atol=1e-4)
     np.testing.assert_allclose(y, y2, rtol=1e-5, atol=1e-4)
     np.testing.assert_allclose(dx, dx2, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("fused_env", [None, "1"])
+def test_streamed_parts_product_matches_simple(_force_stream, monkeypatch,
+                                               fused_env):
+    """The HBM-streamed PARTS path of schur_values (wide-gather + XLA
+    product + streaming reduction by default; in-kernel fused product
+    with GRAPHITE_TPU_FUSED_STREAM=1) against the one-shot path."""
+    if fused_env is None:
+        monkeypatch.delenv("GRAPHITE_TPU_FUSED_STREAM", raising=False)
+    else:
+        monkeypatch.setenv("GRAPHITE_TPU_FUSED_STREAM", fused_env)
+    # reference: default one-shot product path
+    problem, lin, hs, ss, hv, sv_ref = _setup()
+    # force K > threshold and multiple small parts
+    monkeypatch.setattr(schur_mod, "CHUNK_THRESHOLD", 16)
+    monkeypatch.setattr(schur_mod, "STREAM_PART_ROWS", 1 << 10)
+    problem2, lin2, hs2, ss2, hv2, sv2 = _setup()
+    parts_cache = problem2._cache.get("segsum_stream_plans", {})
+    assert any(v for v in parts_cache.values()), (
+        "streamed parts path did not engage")
+    for k in sv_ref.s_vals:
+        np.testing.assert_allclose(
+            np.asarray(sv2.s_vals[k]), np.asarray(sv_ref.s_vals[k]),
+            rtol=1e-4, atol=1e-4)

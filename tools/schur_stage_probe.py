@@ -2,10 +2,12 @@
 the r3 bench): builds the venice-big problem ONCE, then times schur_values
 under the probe hooks —
 
+  front (hll)     hll_inv + Hpp copy only                 (FRONT_ONLY=hll)
   front           hll_inv + Hpp copy + W = Hpl Hll^{-1}   (FRONT_ONLY=1)
   front+N parts   + first N streamed product parts        (MAX_PARTS=N)
-  full fused      the real thing
-  full unfused    GRAPHITE_TPU_NO_FUSED_STREAM=1 (scan_map + segsum pass)
+  full default    wide gather + XLA product + streaming reduction
+  full fused      GRAPHITE_TPU_FUSED_STREAM=1 (in-kernel product; loses
+                  3x to the default on-chip, kept as a comparison point)
 
 The per-part slope and the front offset identify where the milliseconds
 live. Results recorded in BENCHMARKS.md.
@@ -113,12 +115,13 @@ def main():
                 else:
                     os.environ[k] = v
 
+    probe("front (hll+hpp only)", {"GRAPHITE_TPU_SCHUR_FRONT_ONLY": "hll"})
     probe("front (hll+hpp+W)", {"GRAPHITE_TPU_SCHUR_FRONT_ONLY": 1})
     probe("front + 1 part", {"GRAPHITE_TPU_SCHUR_MAX_PARTS": 1})
     probe("front + 2 parts", {"GRAPHITE_TPU_SCHUR_MAX_PARTS": 2})
     probe("front + 4 parts", {"GRAPHITE_TPU_SCHUR_MAX_PARTS": 4})
-    probe("full (fused)")
-    probe("full (unfused handoff)", {"GRAPHITE_TPU_NO_FUSED_STREAM": 1})
+    probe("full (default)")
+    probe("full (in-kernel fused)", {"GRAPHITE_TPU_FUSED_STREAM": 1})
 
 
 if __name__ == "__main__":
