@@ -95,19 +95,25 @@ def maybe_rows(problem, tag, arr, idx: np.ndarray):
     """arr[idx] with identity gathers ELIMINATED: on chip a (5M, 27) row
     gather costs ~115-182 ms even for monotone indices while the array
     itself is free; CSC-ordered structures make many hot index arrays
-    exactly iota."""
+    exactly iota.
+
+    Prefix-iota counts too: Hessian value groups carry one trailing TRASH
+    row (masking-not-compaction, graph.py), so ``arange(n)`` into an
+    (n+1)-row array is the common shape — a free ``arr[:n]`` slice, not a
+    gather (this exact miss cost ~200 ms/call in Venice-Final
+    schur_values before round 3)."""
     idx = np.asarray(idx)
     ident = problem._cache.setdefault("identity_idx", {})
     if tag not in ident:
         ident[tag] = bool(
-            arr.shape[0] == idx.shape[0]
+            arr.shape[0] >= idx.shape[0]
             and (idx.size == 0
                  or (idx[0] == 0 and idx[-1] == idx.size - 1
                      and np.array_equal(
                          idx, np.arange(idx.size, dtype=idx.dtype))))
         )
     if ident[tag]:
-        return arr
+        return arr if arr.shape[0] == idx.shape[0] else arr[:idx.shape[0]]
     return arr[problem.const(tag, idx.astype(np.int32))]
 
 

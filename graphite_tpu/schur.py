@@ -64,6 +64,11 @@ from .ops.streamreduce import (
     wide_table as _wide_table,
 )
 
+# One-shot W = Hpl Hll^{-1} expansion-transient budget: (K, dl*dl) f32.
+# Venice-Final (K=5.0M, dl=3) is 180 MB; above this the chunked
+# narrow-gather fallback bounds the transient instead.
+W_EXPAND_BYTES = 1 << 29
+
 # Above this row count, block-batch products run in lax.scan chunks to bound
 # transients. The flat 2-D VPU products (ops/blockfmt.py) have no tile-padded
 # 3-D intermediates, so the bound is just the (K, r*c) product itself
@@ -438,29 +443,56 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
         # H group holds exactly the Hpl blocks in CSC order (BAL)
         hpl_flat = _maybe_rows(problem, ("hpl_h", key), hvals[key],
                                ss.hpl_h_idx[key])
-        lm_gidx = problem.const(
-            ("hpl_lm_gidx", key),
-            ss.lm_group_index[ss.hpl_lm[key]].astype(np.int32),
-        )
         K = hpl_flat.shape[0]
+        gi_np = ss.lm_group_index[ss.hpl_lm[key]].astype(np.int32)
 
-        # the 5M-row Hll^{-1} lookup is a narrow (dl*dl-lane) gather —
-        # zero-pad the table once to the fast-gather width (>= 256-byte
-        # rows, tools/gather_width_probe.py) and slice the live lanes
-        # back out inside the product
-        inv_src = _wide_table(hll_inv[dl])
+        # CSC landmark-major order makes gi NON-DECREASING (every obs of a
+        # landmark is contiguous), so the 5M-row Hll^{-1} lookup can be a
+        # repeat-EXPANSION instead of a gather: jnp.repeat with host-side
+        # counts runs at 33 ms vs 55 (narrow gather) / 144 (wide gather,
+        # scan-chunked — the r3 regression) at Venice-Final shape
+        # (/tmp/w_stage_probe.py, on-chip). One-shot: the (K, dl*dl)
+        # expansion transient is bounded by W_EXPAND_BYTES.
+        wcache = problem._cache.setdefault("hpl_w_expand", {})
+        if key not in wcache:
+            is_sorted = bool(gi_np.size == 0
+                             or np.all(np.diff(gi_np) >= 0))
+            counts = None
+            if is_sorted:
+                counts = np.bincount(
+                    gi_np, minlength=int(ss.lm_h_idx[dl].shape[0]),
+                ).astype(np.int32)
+            wcache[key] = (is_sorted, counts)
+        is_sorted, counts_np = wcache[key]
 
-        def w_body(chunk_arrays, dp=dp, dl=dl, inv=inv_src):
-            # fused 2-D VPU block product: no 3-D tile-padded transient and
-            # exact fp32 multiplies (ops/blockfmt.py); the Hll^{-1} row
-            # lookup happens inside the chunk (small source table)
-            hf, gi = chunk_arrays
-            return flat_block_mm_nn(hf.astype(inv_dt), inv[gi][:, :dl * dl],
-                                    dp, dl, dl, acc_dtype=inv_dt)
+        if is_sorted and K * dl * dl * 4 <= W_EXPAND_BYTES:
+            # barrier: hll_inv is a computed expression here — without the
+            # fence XLA fuses the 3x3 inverse INTO the repeat's gather and
+            # recomputes it per OBSERVATION (5x the arithmetic + scattered
+            # Hll reads); materializing the (n_lm, 9) table first keeps it
+            # per landmark
+            inv_exp = jnp.repeat(
+                jax.lax.optimization_barrier(hll_inv[dl]),
+                problem.const(("hpl_w_counts", key), counts_np),
+                axis=0, total_repeat_length=K)
+            hpl_w[key] = flat_block_mm_nn(
+                hpl_flat.astype(inv_dt), inv_exp, dp, dl, dl,
+                acc_dtype=inv_dt)
+        else:
+            lm_gidx = problem.const(("hpl_lm_gidx", key), gi_np)
 
-        hpl_w[key] = _mapped_rows(
-            w_body, (hpl_flat, lm_gidx), K,
-            (dp * dl * 2 + dl * dl) * 4)
+            def w_body(chunk_arrays, dp=dp, dl=dl, inv=hll_inv[dl]):
+                # fused 2-D VPU block product: no 3-D tile-padded
+                # transient and exact fp32 multiplies (ops/blockfmt.py);
+                # the Hll^{-1} row lookup is a narrow gather from the
+                # small source table inside the chunk
+                hf, gi = chunk_arrays
+                return flat_block_mm_nn(hf.astype(inv_dt), inv[gi],
+                                        dp, dl, dl, acc_dtype=inv_dt)
+
+            hpl_w[key] = _mapped_rows(
+                w_body, (hpl_flat, lm_gidx), K,
+                (dp * dl * 2 + dl * dl) * 4)
 
     if _front_only:
         # timing hook: hll_inv + Hpp copy + W only (S values incomplete;
@@ -601,16 +633,15 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
                     streaming_segment_sum,
                 )
 
-                # In-kernel product fusion (streaming_segment_product_sum)
-                # is OPT-IN only: on-chip at a Venice part's shape the
-                # kernel costs ~163 ms while its own components — wide
-                # gather (2x16 ms) + XLA flat VPU product (~11 ms) +
-                # streaming segsum (7 ms) — total ~50 ms
-                # (tools/fused_kernel_variants.py). The expansion-matmul
-                # product inside the kernel loses 3x to letting XLA fuse
-                # the product into the gather output, even though the
-                # (k_pad, dpa*dpb) buffer makes one extra HBM round trip.
-                fused = bool(_os.environ.get("GRAPHITE_TPU_FUSED_STREAM"))
+                # In-kernel product fusion (streaming_segment_product_sum:
+                # wide XLA gathers feed the kernel, which does the flat
+                # block product AND the windowed-one-hot reduction in one
+                # pass — the (k_pad, dpa*dpb) product buffer never touches
+                # HBM). In situ at Venice-Final it wins: 547 ms full stage
+                # vs 626 for the two-pass gather->product->streaming-segsum
+                # handoff (tools/schur_stage_probe.py, r3). Kill switch
+                # falls back to the two-pass handoff.
+                fused = not _os.environ.get("GRAPHITE_TPU_NO_FUSED_STREAM")
 
                 # XLA's row gather flips to a fast path at >= 256 row
                 # bytes (64 f32 lanes): 90-113 GB/s vs 11 GB/s below

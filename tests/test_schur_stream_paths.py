@@ -103,13 +103,13 @@ def test_stream_paths_match_fallback(_force_stream):
 @pytest.mark.parametrize("fused_env", [None, "1"])
 def test_streamed_parts_product_matches_simple(_force_stream, monkeypatch,
                                                fused_env):
-    """The HBM-streamed PARTS path of schur_values (wide-gather + XLA
-    product + streaming reduction by default; in-kernel fused product
-    with GRAPHITE_TPU_FUSED_STREAM=1) against the one-shot path."""
+    """The HBM-streamed PARTS path of schur_values (in-kernel fused
+    product by default; wide-gather + XLA product + streaming reduction
+    with GRAPHITE_TPU_NO_FUSED_STREAM=1) against the one-shot path."""
     if fused_env is None:
-        monkeypatch.delenv("GRAPHITE_TPU_FUSED_STREAM", raising=False)
+        monkeypatch.delenv("GRAPHITE_TPU_NO_FUSED_STREAM", raising=False)
     else:
-        monkeypatch.setenv("GRAPHITE_TPU_FUSED_STREAM", fused_env)
+        monkeypatch.setenv("GRAPHITE_TPU_NO_FUSED_STREAM", fused_env)
     # reference: default one-shot product path
     problem, lin, hs, ss, hv, sv_ref = _setup()
     # force K > threshold and multiple small parts

@@ -5,9 +5,9 @@ under the probe hooks —
   front (hll)     hll_inv + Hpp copy only                 (FRONT_ONLY=hll)
   front           hll_inv + Hpp copy + W = Hpl Hll^{-1}   (FRONT_ONLY=1)
   front+N parts   + first N streamed product parts        (MAX_PARTS=N)
-  full default    wide gather + XLA product + streaming reduction
-  full fused      GRAPHITE_TPU_FUSED_STREAM=1 (in-kernel product; loses
-                  3x to the default on-chip, kept as a comparison point)
+  full default    in-kernel fused product streaming kernel
+  full unfused    GRAPHITE_TPU_NO_FUSED_STREAM=1 (wide gather + XLA
+                  product + streaming reduction two-pass handoff)
 
 The per-part slope and the front offset identify where the milliseconds
 live. Results recorded in BENCHMARKS.md.
@@ -120,8 +120,8 @@ def main():
     probe("front + 1 part", {"GRAPHITE_TPU_SCHUR_MAX_PARTS": 1})
     probe("front + 2 parts", {"GRAPHITE_TPU_SCHUR_MAX_PARTS": 2})
     probe("front + 4 parts", {"GRAPHITE_TPU_SCHUR_MAX_PARTS": 4})
-    probe("full (default)")
-    probe("full (in-kernel fused)", {"GRAPHITE_TPU_FUSED_STREAM": 1})
+    probe("full (default: in-kernel fused)")
+    probe("full (unfused handoff)", {"GRAPHITE_TPU_NO_FUSED_STREAM": 1})
 
 
 if __name__ == "__main__":
