@@ -428,9 +428,16 @@ class Problem:
                           level_byte: int) -> None:
         """Post-freeze ``FactorDescriptor::set_active`` (factor.hpp:419):
         bits 0-6 = level, MSB = disabled."""
-        idx = self.host.factor_handle_index[fname][int(handle)]
+        idx = self._factor_handle_idx(fname, int(handle))
         self.host.factor_levels[fname][idx] = int(level_byte)
         self.remask()
+
+    def _factor_handle_idx(self, fname: str, handle: int) -> int:
+        maps = self._cache.setdefault("handle_maps", {})
+        if fname not in maps:
+            arr = self.host.factor_handles[fname]
+            maps[fname] = {int(h): i for i, h in enumerate(arr)}
+        return maps[fname][handle]
 
     def set_vertex_fixed(self, vname: str, global_id: int,
                          fixed: bool = True) -> None:
@@ -474,9 +481,10 @@ class Problem:
         return idx[vtype_name][global_id]
 
     def _id_map_source(self, vtype_name: str):
-        # rebuilt from host structure: global ids were consumed at freeze;
-        # Graph keeps them — stash on freeze below
-        return self.host.global_id_maps[vtype_name].items()
+        # rebuilt from the global-ids array stashed at freeze (the dict
+        # form is only built here, on first by-id lookup)
+        arr = self.host.global_ids[vtype_name]
+        return zip(arr.tolist(), range(arr.shape[0]))
 
     def residual_sizes(self) -> Dict[str, int]:
         return {
@@ -498,11 +506,16 @@ class HostStructure:
     factor_ids: Dict[str, np.ndarray]  # (F, N) local indices
     factor_mask: Dict[str, np.ndarray]
     slot_mask: Dict[str, np.ndarray]
-    global_id_maps: Dict[str, dict] = dataclasses.field(default_factory=dict)
+    # id/handle lookup SOURCES: plain arrays (dicts of millions of Python
+    # ints cost seconds to build at freeze; the dict form is built lazily
+    # on first by-id lookup — see Problem.host_local_index /
+    # _factor_handle_idx)
+    global_ids: Dict[str, np.ndarray] = dataclasses.field(
+        default_factory=dict)
     # recorded for runtime remasking (remaskable freezes)
     factor_levels: Dict[str, np.ndarray] = dataclasses.field(
         default_factory=dict)
-    factor_handle_index: Dict[str, dict] = dataclasses.field(
+    factor_handles: Dict[str, np.ndarray] = dataclasses.field(
         default_factory=dict)
 
 
@@ -629,15 +642,37 @@ class Graph:
             for slot, vt in enumerate(fs.ftype.vertex_types):
                 vs = self.vertex_sets[vt.name]
                 vs_gids = np.asarray(vs.global_ids, dtype=np.int64)
+                g = gids[:, slot]
+                # Contiguous-ids fast path: builders that add vertices in
+                # order (every example/io loader) produce global_ids that
+                # are base + arange — resolution is then a subtraction +
+                # range check instead of argsort + 5M binary searches
+                # (2.6 s -> ~0.1 s at Venice-Final, BENCHMARKS.md freeze
+                # table; reference analog: the host id->index hash walk in
+                # graph.hpp:171-210 has no such path).
+                n_v = len(vs_gids)
+                base = int(vs_gids[0]) if n_v else 0
+                if n_v and int(vs_gids[-1]) == base + n_v - 1 and np.array_equal(
+                        vs_gids, np.arange(base, base + n_v, dtype=np.int64)):
+                    loc = g - base
+                    ok = (loc >= 0) & (loc < n_v)
+                    if not np.all(ok):
+                        bad = g[~ok][0]
+                        raise KeyError(
+                            f"factor set '{name}' slot {slot} references "
+                            f"unknown vertex id {bad} of type '{vt.name}'"
+                        )
+                    local[:, slot] = loc
+                    continue
                 sorter = np.argsort(vs_gids, kind="stable")
                 sorted_gids = vs_gids[sorter]
-                pos = np.searchsorted(sorted_gids, gids[:, slot])
+                pos = np.searchsorted(sorted_gids, g)
                 pos_c = np.clip(pos, 0, max(len(sorted_gids) - 1, 0))
                 ok = (len(sorted_gids) > 0) & (
-                    sorted_gids[pos_c] == gids[:, slot]
+                    sorted_gids[pos_c] == g
                 )
                 if not np.all(ok):
-                    bad = gids[:, slot][~np.asarray(ok, dtype=bool)][0]
+                    bad = g[~np.asarray(ok, dtype=bool)][0]
                     raise KeyError(
                         f"factor set '{name}' slot {slot} references unknown "
                         f"vertex id {bad} of type '{vt.name}'"
@@ -884,13 +919,13 @@ class Graph:
             factor_ids=factor_ids_local,
             factor_mask=factor_mask,
             slot_mask=slot_mask_h,
-            global_id_maps={
-                name: dict(vs.id_to_local)
+            global_ids={
+                name: np.asarray(vs.global_ids, dtype=np.int64)
                 for name, vs in self.vertex_sets.items()
             },
             factor_levels=factor_levels,
-            factor_handle_index={
-                name: {int(h): i for i, h in enumerate(fs.handle_array())}
+            factor_handles={
+                name: np.asarray(fs.handle_array())
                 for name, fs in factor_sets_active.items()
             },
         )

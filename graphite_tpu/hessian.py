@@ -113,6 +113,41 @@ def _block_ids_for(problem, fname: str):
     return out
 
 
+def _unique_merge_inverse(all_codes, diag_source, n_cols):
+    """Global (unique sorted codes, concatenated inverse) across per-source
+    code arrays.
+
+    Each source is uniqued independently (self-pair sources via the
+    bounded flag-array rank on the block id — their codes b*(n_cols+1)
+    are strictly monotone in b), the per-source unique arrays are
+    dedup-merged, and each source's inverse is remapped through its
+    ranks in the merged array."""
+    if not all_codes:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    uniqs, invs = [], []
+    for codes_s, is_diag in zip(all_codes, diag_source):
+        if is_diag and n_cols < (1 << 26):
+            b = codes_s // (n_cols + 1)
+            ub, inv = hostops.unique_inverse(b, bound=n_cols)
+            uniqs.append(ub * (n_cols + 1))
+        else:
+            ub, inv = hostops.unique_inverse(codes_s)
+            uniqs.append(ub)
+        invs.append(inv)
+    total = sum(c.shape[0] for c in all_codes)
+    if len(uniqs) == 1:
+        return uniqs[0], invs[0]
+    merged = hostops.sorted_unique(np.concatenate(uniqs))
+    out = np.empty(total, dtype=np.int64)
+    off = 0
+    for u, inv in zip(uniqs, invs):
+        rank = hostops.searchsorted(merged, u)
+        out[off:off + inv.shape[0]] = rank[inv]
+        off += inv.shape[0]
+    return merged, out
+
+
 def build_hessian_structure(problem) -> HessianStructure:
     if "hessian_structure" in problem._cache:
         return problem._cache["hessian_structure"]
@@ -128,6 +163,7 @@ def build_hessian_structure(problem) -> HessianStructure:
     # column (r <= c means max row in column c is the diagonal).
     pair_sources = []  # (fname, s, t, bs (F,), bt (F,), valid (F,))
     all_codes = []
+    diag_source = []  # s == t: code = b*(n_cols+1), rankable by b alone
     for fname, fm in problem.factor_meta.items():
         bids = _block_ids_for(problem, fname)
         n = fm.ftype.arity
@@ -138,19 +174,19 @@ def build_hessian_structure(problem) -> HessianStructure:
                 lo = np.minimum(bs, bt)[valid]
                 hi = np.maximum(bs, bt)[valid]
                 all_codes.append(hi * n_cols + lo)
+                diag_source.append(s == t)
                 pair_sources.append((fname, s, t, bs, bt, valid))
 
     _tm.lap("collect_codes")
-    # one radix-argsort pass yields both the unique sorted codes AND, via
-    # the inverse, every factor contribution's block position — no
-    # per-pair binary searches (the reference instead walks a host hash
-    # map per factor, hessian.hpp:178-208 / factor.hpp:702-763)
-    if all_codes:
-        codes, code_inverse = hostops.unique_inverse(
-            np.concatenate(all_codes))
-    else:
-        codes = np.zeros(0, dtype=np.int64)
-        code_inverse = np.zeros(0, dtype=np.int64)
+    # Per-source unique+inverse, then a dedup merge of the per-source
+    # unique code arrays and a rank remap — no per-pair binary searches
+    # (the reference instead walks a host hash map per factor,
+    # hessian.hpp:178-208 / factor.hpp:702-763). Splitting by source keeps
+    # each radix pass at n_obs instead of (#slot-pairs * n_obs), and the
+    # self-pair (s == t) sources rank by the block id alone (bounded flag
+    # array, 3 linear passes): 7.1 s -> ~2 s at Venice-Final.
+    codes, code_inverse = _unique_merge_inverse(
+        all_codes, diag_source, n_cols)
     block_rows = codes % n_cols
     block_cols = codes // n_cols
     nb = codes.shape[0]
@@ -159,7 +195,9 @@ def build_hessian_structure(problem) -> HessianStructure:
     dr_all = block_dims[block_rows] if nb else np.zeros(0, dtype=np.int64)
     dc_all = block_dims[block_cols] if nb else np.zeros(0, dtype=np.int64)
     dim_codes = dr_all * 100000 + dc_all
-    uniq_dims, group_of_block = hostops.unique_inverse(dim_codes)
+    max_dim = int(block_dims.max()) if block_dims.size else 1
+    uniq_dims, group_of_block = hostops.unique_inverse(
+        dim_codes, bound=max_dim * 100000 + max_dim + 1)
     group_keys = [(int(d // 100000), int(d % 100000)) for d in uniq_dims]
     counts = np.bincount(group_of_block, minlength=len(group_keys)).astype(
         np.int64

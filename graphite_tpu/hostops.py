@@ -72,6 +72,44 @@ def stable_argsort(keys: np.ndarray, n_buckets: int) -> np.ndarray:
     return np.argsort(np.asarray(keys), kind="stable")
 
 
+def attach_pairs_vals(att_lm: np.ndarray, att_pose: np.ndarray, n_lm: int,
+                      n_pose: int, vals: np.ndarray):
+    """`attach_pairs` for the single-(dp,dl)-group case: emits each pair's
+    left/right attach VALUES (``vals[att_order][ai/bi]``) directly at
+    pair-generation time instead of materializing ai/bi and gathering —
+    saves two 17M-row random gathers at Venice-Final.
+
+    Returns (att_order, left, right, pair_lm, pair_codes)."""
+    att_lm = np.asarray(att_lm, dtype=np.int64)
+    att_pose = np.asarray(att_pose, dtype=np.int64)
+    ns = _native()
+    if ns is not None and att_lm.size:
+        att_order, counts, total = ns.attach_sort(att_lm, att_pose, n_lm)
+        vals_s = np.asarray(vals, dtype=np.int32)[att_order]
+        left, right, pair_lm, pair_codes = ns.pair_fill_vals(
+            counts, att_pose[att_order], n_pose, total, vals_s)
+        return att_order, left, right, pair_lm, pair_codes
+    (att_order, counts, seg_off, ai, bi, pair_lm, pair_codes,
+     pose_a, pose_b) = attach_pairs(att_lm, att_pose, n_lm, n_pose)
+    vals_s = np.asarray(vals, dtype=np.int32)[att_order]
+    return (att_order, vals_s[ai], vals_s[bi],
+            np.asarray(pair_lm, dtype=np.int32), pair_codes)
+
+
+def sort_apply3(keys: np.ndarray, n_buckets: int, p0, p1, p2):
+    """Stable-sort ``keys`` (int32, in [0, n_buckets)) and apply the same
+    permutation to three int32 payloads in one native pass. NumPy fallback:
+    argsort + four gathers. Returns (keys_sorted, q0, q1, q2)."""
+    ns = _native()
+    if ns is not None and np.asarray(keys).size:
+        return ns.counting_sort_apply3_i32(keys, n_buckets, p0, p1, p2)
+    order = np.argsort(np.asarray(keys), kind="stable")
+    return (np.asarray(keys, dtype=np.int32)[order],
+            np.asarray(p0, dtype=np.int32)[order],
+            np.asarray(p1, dtype=np.int32)[order],
+            np.asarray(p2, dtype=np.int32)[order])
+
+
 def attach_pairs(att_lm: np.ndarray, att_pose: np.ndarray, n_lm: int,
                  n_pose: int):
     """Sort the Hpl attach list by (lm, pose) and enumerate all unordered

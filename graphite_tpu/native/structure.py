@@ -172,6 +172,58 @@ def pair_fill2(counts, att_pose_s, n_pose: int, total_pairs: int):
     return ai, bi, pair_lm, pair_codes, pose_a, pose_b
 
 
+def pair_fill_vals(counts, att_pose_s, n_pose: int, total_pairs: int,
+                   att_vals):
+    """pair_fill emitting left/right attach VALUES directly (single-group
+    fast path). Returns (left, right, pair_lm, pair_codes)."""
+    lib = _typed2(_lib())
+    if not getattr(lib, "_gx_typed5", False):
+        _I32P = ctypes.POINTER(ctypes.c_int32)
+        lib.gx_pair_fill_vals.argtypes = [
+            _I64P, ctypes.c_int64, _I64P, ctypes.c_int64,
+            _I32P, _I32P, _I32P, _I32P, _I64P]
+        lib.gx_pair_fill_vals.restype = None
+        lib._gx_typed5 = True
+    counts = _as_i64(counts)
+    att_pose_s = _as_i64(att_pose_s)
+    att_vals = np.ascontiguousarray(att_vals, dtype=np.int32)
+    left = np.empty(total_pairs, dtype=np.int32)
+    right = np.empty(total_pairs, dtype=np.int32)
+    pair_lm = np.empty(total_pairs, dtype=np.int32)
+    pair_codes = np.empty(total_pairs, dtype=np.int64)
+    lib.gx_pair_fill_vals(
+        _ptr(counts), counts.shape[0], _ptr(att_pose_s), n_pose,
+        _ptr32(att_vals), _ptr32(left), _ptr32(right), _ptr32(pair_lm),
+        _ptr(pair_codes))
+    return left, right, pair_lm, pair_codes
+
+
+def counting_sort_apply3_i32(keys, n_buckets: int, p0, p1, p2):
+    """Stable counting sort of int32 ``keys`` in [0, n_buckets) applied to
+    three int32 payloads in one pass. Returns (keys_sorted, q0, q1, q2)."""
+    lib = _typed2(_lib())
+    if not getattr(lib, "_gx_typed4", False):
+        _I32P = ctypes.POINTER(ctypes.c_int32)
+        lib.gx_counting_sort_apply3_i32.argtypes = [
+            _I32P, ctypes.c_int64, ctypes.c_int64,
+            _I32P, _I32P, _I32P, _I32P, _I32P, _I32P, _I32P]
+        lib.gx_counting_sort_apply3_i32.restype = None
+        lib._gx_typed4 = True
+    keys = np.ascontiguousarray(keys, dtype=np.int32)
+    p0 = np.ascontiguousarray(p0, dtype=np.int32)
+    p1 = np.ascontiguousarray(p1, dtype=np.int32)
+    p2 = np.ascontiguousarray(p2, dtype=np.int32)
+    n = keys.shape[0]
+    ks = np.empty(n, dtype=np.int32)
+    q0 = np.empty(n, dtype=np.int32)
+    q1 = np.empty(n, dtype=np.int32)
+    q2 = np.empty(n, dtype=np.int32)
+    lib.gx_counting_sort_apply3_i32(
+        _ptr32(keys), n, n_buckets, _ptr32(p0), _ptr32(p1), _ptr32(p2),
+        _ptr32(ks), _ptr32(q0), _ptr32(q1), _ptr32(q2))
+    return ks, q0, q1, q2
+
+
 def unique_inverse_bounded(codes, bound: int):
     """Bounded-range np.unique(return_inverse): flag + prefix-rank."""
     lib = _typed2(_lib())

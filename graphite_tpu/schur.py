@@ -194,8 +194,8 @@ def build_schur_structure(problem) -> SchurStructure:
     hpl_h_idx: Dict[Tuple[int, int], np.ndarray] = {}
     hpl_pose: Dict[Tuple[int, int], np.ndarray] = {}
     hpl_lm: Dict[Tuple[int, int], np.ndarray] = {}
-    key_id_of = np.zeros(hpl_sel.shape[0], dtype=np.int64)
-    idx_in_key = np.zeros(hpl_sel.shape[0], dtype=np.int64)
+    key_id_of = np.zeros(hpl_sel.shape[0], dtype=np.int32)
+    idx_in_key = np.zeros(hpl_sel.shape[0], dtype=np.int32)
     for code in hostops.sorted_unique(hpl_code):
         key = (int(code // 100000), int(code % 100000))
         m = hpl_code == code
@@ -213,10 +213,20 @@ def build_schur_structure(problem) -> SchurStructure:
     # (schur.hpp:397-476; native C++ with NumPy fallback) ---
     att_lm = cols_h[hpl_sel] - eb
     att_pose = rows_h[hpl_sel]
-    (att_order, counts, seg_off, ai, bi, pair_lm, pair_codes,
-     pose_a, pose_b) = hostops.attach_pairs(att_lm, att_pose, n_lm, n_pose)
-    att_key_s = key_id_of[att_order]
-    att_idx_s = idx_in_key[att_order]
+    # Single-(dp,dl)-group fast path (uniform dims, e.g. BAL): the pair
+    # fill emits left/right attach values directly — no ai/bi arrays and
+    # no 17M-row gathers.
+    single_pair_group = len(hpl_keys) == 1 and len(lm_dims) == 1
+    if single_pair_group:
+        (att_order, left_v, right_v, pair_lm,
+         pair_codes) = hostops.attach_pairs_vals(
+            att_lm, att_pose, n_lm, n_pose, idx_in_key)
+    else:
+        (att_order, counts, seg_off, ai, bi, pair_lm, pair_codes,
+         pose_a, pose_b) = hostops.attach_pairs(att_lm, att_pose, n_lm,
+                                                n_pose)
+        att_key_s = key_id_of[att_order]
+        att_idx_s = idx_in_key[att_order]
 
     _tm.lap("attach_pairs")
     # --- S sparsity: union of Hpp coords and fill-in pairs. One
@@ -224,15 +234,19 @@ def build_schur_structure(problem) -> SchurStructure:
     # inverse, every Hpp block's and every pair's destination position ---
     hpp_sel = np.nonzero(is_hpp)[0]
     hpp_codes = cols_h[hpp_sel] * n_pose + rows_h[hpp_sel]
+    _tm.lap("s_sparsity.hpp_codes")
     s_codes, s_inverse = hostops.unique_inverse(
         np.concatenate([hpp_codes, pair_codes]), bound=n_pose * n_pose)
+    _tm.lap("s_sparsity.unique")
     hpp_pos = s_inverse[: hpp_codes.shape[0]]
     pair_pos = s_inverse[hpp_codes.shape[0]:]
     s_rows_all = (s_codes % n_pose).astype(np.int64)
     s_cols_all = (s_codes // n_pose).astype(np.int64)
     ns_total = s_codes.shape[0]
     s_dim_code = dims[s_rows_all] * 100000 + dims[s_cols_all]
-    uniq_sdims, s_group_of = hostops.unique_inverse(s_dim_code)
+    _maxd = int(dims.max()) if dims.size else 1
+    uniq_sdims, s_group_of = hostops.unique_inverse(
+        s_dim_code, bound=_maxd * 100000 + _maxd + 1)
     s_keys = [(int(c // 100000), int(c % 100000)) for c in uniq_sdims]
     s_index_in_group = _cumcount(s_group_of, len(s_keys))
     s_sizes = {
@@ -263,26 +277,30 @@ def build_schur_structure(problem) -> SchurStructure:
     # Single-group fast path (uniform block dims, e.g. BAL): no per-group
     # masks over the pair arrays ---
     products = []
-    if len(hpl_keys) == 1 and len(lm_dims) == 1 and len(s_keys) == 1:
+    if single_pair_group:
         # Uniform-dims fast path (BAL): one (dpa, dl, dpb) group; with a
         # single S group, index_in_group is the identity (dst = pair_pos),
         # with a single lm dim lm_group_index is the identity
-        # (mid = pair_lm), and key ids are all zero — no 17M-row gathers.
+        # (mid = pair_lm), and left/right came straight from the pair
+        # fill — no 17M-row gathers.
         dp, dl = hpl_keys[0]
-        dst = pair_pos.astype(np.int32)
-        left = att_idx_s[ai].astype(np.int32)
-        right = att_idx_s[bi].astype(np.int32)
-        mid = pair_lm.astype(np.int32)
+        dst_key = (dp, dp)
+        if len(s_keys) == 1:
+            dst = pair_pos.astype(np.int32)
+        else:
+            dst = s_index_in_group[pair_pos].astype(np.int32)
         _tm.lap("products.gather")
-        order = hostops.stable_argsort(dst, s_sizes[s_keys[0]])
+        # one native pass: stable counting sort by dst applied to
+        # left/right/mid in place of perm materialization + four gathers
+        dst_s, left_s, right_s, mid_s = hostops.sort_apply3(
+            dst, s_sizes[dst_key], left_v, right_v, pair_lm)
         _tm.lap("products.sort")
         products.append(
             dict(
                 dims=(dp, dl, dp),
                 left_key=hpl_keys[0], right_key=hpl_keys[0],
-                dst_key=s_keys[0],
-                left=left[order], right=right[order],
-                mid=mid[order], dst=dst[order],
+                dst_key=dst_key,
+                left=left_s, right=right_s, mid=mid_s, dst=dst_s,
             )
         )
         _tm.lap("products.apply_perm")
