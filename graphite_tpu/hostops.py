@@ -72,6 +72,27 @@ def stable_argsort(keys: np.ndarray, n_buckets: int) -> np.ndarray:
     return np.argsort(np.asarray(keys), kind="stable")
 
 
+def schur_pair_plan(att_lm: np.ndarray, att_pose: np.ndarray, n_lm: int,
+                    n_pose: int, vals: np.ndarray, hpp_codes: np.ndarray):
+    """Fused single-group Schur plan: attach sort + pair fill + S
+    sparsity + dst-sorted product plan in one native pass pair
+    (schur.hpp:397-476 + 484-585). Returns (att_order, left, right, mid,
+    dst, s_codes, hpp_pos) with the pair arrays already sorted by
+    destination S block, or None when unavailable (no native library, or
+    an unbounded pair-code range) — callers fall back to the stepwise
+    path."""
+    att_lm = np.asarray(att_lm, dtype=np.int64)
+    ns = _native()
+    if ns is None or not att_lm.size or n_pose * n_pose > (1 << 23):
+        return None
+    att_pose = np.asarray(att_pose, dtype=np.int64)
+    att_order, counts, total = ns.attach_sort(att_lm, att_pose, n_lm)
+    vals_s = np.asarray(vals, dtype=np.int32)[att_order]
+    left, right, mid, dst, s_codes, hpp_pos = ns.pair_fill_sorted(
+        counts, att_pose[att_order], vals_s, n_pose, total, hpp_codes)
+    return att_order, left, right, mid, dst, s_codes, hpp_pos
+
+
 def attach_pairs_vals(att_lm: np.ndarray, att_pose: np.ndarray, n_lm: int,
                       n_pose: int, vals: np.ndarray):
     """`attach_pairs` for the single-(dp,dl)-group case: emits each pair's

@@ -559,3 +559,72 @@ void gx_pair_fill_vals(const int64_t *counts, int64_t n_lm,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Fused Schur-plan builder for the single-(dp,dl)-group case with a
+// bounded pair-code range (n_pose^2 <= ~2^23): replaces pair fill +
+// bounded unique + counting sort (schur.hpp:397-476 + 484-585) with two
+// generation passes over the attach lists:
+//   pass 1: histogram pair codes (no pair materialization);
+//   scan:    S sparsity = {codes with pairs} U {Hpp codes}, global rank
+//            + dst-sorted base offsets;
+//   pass 2: regenerate pairs, scattering left/right/mid/dst directly to
+//            their dst-sorted positions (stable: generation order within
+//            each destination bucket).
+// Returns ns (number of S blocks); writes hpp_pos = rank of each Hpp code.
+int64_t gx_pair_fill_sorted(const int64_t *counts, int64_t n_lm,
+                            const int64_t *att_pose_s,
+                            const int32_t *att_vals, int64_t n_pose,
+                            const int64_t *hpp_codes, int64_t n_hpp,
+                            int32_t *left, int32_t *right, int32_t *mid,
+                            int32_t *dst, int64_t *s_codes,
+                            int64_t *hpp_pos) {
+  const int64_t n_codes = n_pose * n_pose;
+  std::vector<int64_t> seg_off(static_cast<size_t>(n_lm) + 1, 0);
+  for (int64_t l = 0; l < n_lm; ++l) seg_off[l + 1] = seg_off[l] + counts[l];
+  std::vector<int32_t> cnt(static_cast<size_t>(n_codes), 0);
+  std::vector<uint8_t> hflag(static_cast<size_t>(n_codes), 0);
+  for (int64_t i = 0; i < n_hpp; ++i) hflag[hpp_codes[i]] = 1;
+  // pass 1: pair-code histogram, no pair writes
+  for (int64_t l = 0; l < n_lm; ++l) {
+    const int64_t c = counts[l], seg = seg_off[l];
+    for (int64_t jj = 0; jj < c; ++jj) {
+      const int64_t base = att_pose_s[seg + jj] * n_pose;
+      for (int64_t ii = 0; ii <= jj; ++ii)
+        ++cnt[base + att_pose_s[seg + ii]];
+    }
+  }
+  // scan: rank + dst-sorted base cursor (cnt becomes the cursor)
+  std::vector<int32_t> rank(static_cast<size_t>(n_codes));
+  int64_t ns = 0, base = 0;
+  for (int64_t code = 0; code < n_codes; ++code) {
+    const int32_t c = cnt[code];
+    if (c || hflag[code]) {
+      s_codes[ns] = code;
+      rank[code] = static_cast<int32_t>(ns++);
+      cnt[code] = static_cast<int32_t>(base);
+      base += c;
+    }
+  }
+  for (int64_t i = 0; i < n_hpp; ++i) hpp_pos[i] = rank[hpp_codes[i]];
+  // pass 2: regenerate pairs, scatter to final dst-sorted positions
+  for (int64_t l = 0; l < n_lm; ++l) {
+    const int64_t c = counts[l], seg = seg_off[l];
+    for (int64_t jj = 0; jj < c; ++jj) {
+      const int64_t pbase = att_pose_s[seg + jj] * n_pose;
+      const int32_t vb = att_vals[seg + jj];
+      for (int64_t ii = 0; ii <= jj; ++ii) {
+        const int64_t code = pbase + att_pose_s[seg + ii];
+        const int64_t p = cnt[code]++;
+        left[p] = att_vals[seg + ii];
+        right[p] = vb;
+        mid[p] = static_cast<int32_t>(l);
+        dst[p] = rank[code];
+      }
+    }
+  }
+  return ns;
+}
+
+}  // extern "C"

@@ -198,6 +198,40 @@ def pair_fill_vals(counts, att_pose_s, n_pose: int, total_pairs: int,
     return left, right, pair_lm, pair_codes
 
 
+def pair_fill_sorted(counts, att_pose_s, att_vals, n_pose: int,
+                     total_pairs: int, hpp_codes):
+    """Fused pair fill + bounded unique + dst-sorted product plan.
+
+    Returns (left, right, mid, dst, s_codes, hpp_pos) with the pair
+    arrays already sorted by destination S block."""
+    lib = _typed2(_lib())
+    if not getattr(lib, "_gx_typed6", False):
+        _I32P = ctypes.POINTER(ctypes.c_int32)
+        lib.gx_pair_fill_sorted.argtypes = [
+            _I64P, ctypes.c_int64, _I64P, _I32P, ctypes.c_int64,
+            _I64P, ctypes.c_int64,
+            _I32P, _I32P, _I32P, _I32P, _I64P, _I64P]
+        lib.gx_pair_fill_sorted.restype = ctypes.c_int64
+        lib._gx_typed6 = True
+    counts = _as_i64(counts)
+    att_pose_s = _as_i64(att_pose_s)
+    att_vals = np.ascontiguousarray(att_vals, dtype=np.int32)
+    hpp_codes = _as_i64(hpp_codes)
+    left = np.empty(total_pairs, dtype=np.int32)
+    right = np.empty(total_pairs, dtype=np.int32)
+    mid = np.empty(total_pairs, dtype=np.int32)
+    dst = np.empty(total_pairs, dtype=np.int32)
+    ns_cap = min(total_pairs + hpp_codes.shape[0], n_pose * n_pose)
+    s_codes = np.empty(ns_cap, dtype=np.int64)
+    hpp_pos = np.empty(hpp_codes.shape[0], dtype=np.int64)
+    ns = lib.gx_pair_fill_sorted(
+        _ptr(counts), counts.shape[0], _ptr(att_pose_s), _ptr32(att_vals),
+        n_pose, _ptr(hpp_codes), hpp_codes.shape[0],
+        _ptr32(left), _ptr32(right), _ptr32(mid), _ptr32(dst),
+        _ptr(s_codes), _ptr(hpp_pos))
+    return left, right, mid, dst, s_codes[:ns].copy(), hpp_pos
+
+
 def counting_sort_apply3_i32(keys, n_buckets: int, p0, p1, p2):
     """Stable counting sort of int32 ``keys`` in [0, n_buckets) applied to
     three int32 payloads in one pass. Returns (keys_sorted, q0, q1, q2)."""

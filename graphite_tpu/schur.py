@@ -217,7 +217,21 @@ def build_schur_structure(problem) -> SchurStructure:
     # fill emits left/right attach values directly — no ai/bi arrays and
     # no 17M-row gathers.
     single_pair_group = len(hpl_keys) == 1 and len(lm_dims) == 1
+    hpp_sel = np.nonzero(is_hpp)[0]
+    hpp_codes = cols_h[hpp_sel] * n_pose + rows_h[hpp_sel]
+    plan_sorted = None
     if single_pair_group:
+        # Fused native plan: pair histogram (no pair materialization) +
+        # S sparsity scan + regeneration scattered straight into
+        # dst-sorted order — replaces pair fill + bounded unique +
+        # counting sort (~3 fewer 17M-row passes at Venice-Final).
+        plan_sorted = hostops.schur_pair_plan(
+            att_lm, att_pose, n_lm, n_pose, idx_in_key, hpp_codes)
+    if plan_sorted is not None:
+        (att_order, left_s, right_s, mid_s, dst_s, s_codes,
+         hpp_pos) = plan_sorted
+        pair_pos = pair_lm = pair_codes = None
+    elif single_pair_group:
         (att_order, left_v, right_v, pair_lm,
          pair_codes) = hostops.attach_pairs_vals(
             att_lm, att_pose, n_lm, n_pose, idx_in_key)
@@ -230,16 +244,15 @@ def build_schur_structure(problem) -> SchurStructure:
 
     _tm.lap("attach_pairs")
     # --- S sparsity: union of Hpp coords and fill-in pairs. One
-    # radix-argsort pass gives both the unique S codes and, via the
-    # inverse, every Hpp block's and every pair's destination position ---
-    hpp_sel = np.nonzero(is_hpp)[0]
-    hpp_codes = cols_h[hpp_sel] * n_pose + rows_h[hpp_sel]
-    _tm.lap("s_sparsity.hpp_codes")
-    s_codes, s_inverse = hostops.unique_inverse(
-        np.concatenate([hpp_codes, pair_codes]), bound=n_pose * n_pose)
+    # bounded-rank pass gives both the unique S codes and, via the
+    # inverse, every Hpp block's and every pair's destination position
+    # (already produced by the fused plan when it ran) ---
+    if plan_sorted is None:
+        s_codes, s_inverse = hostops.unique_inverse(
+            np.concatenate([hpp_codes, pair_codes]), bound=n_pose * n_pose)
+        hpp_pos = s_inverse[: hpp_codes.shape[0]]
+        pair_pos = s_inverse[hpp_codes.shape[0]:]
     _tm.lap("s_sparsity.unique")
-    hpp_pos = s_inverse[: hpp_codes.shape[0]]
-    pair_pos = s_inverse[hpp_codes.shape[0]:]
     s_rows_all = (s_codes % n_pose).astype(np.int64)
     s_cols_all = (s_codes // n_pose).astype(np.int64)
     ns_total = s_codes.shape[0]
@@ -285,16 +298,21 @@ def build_schur_structure(problem) -> SchurStructure:
         # fill — no 17M-row gathers.
         dp, dl = hpl_keys[0]
         dst_key = (dp, dp)
-        if len(s_keys) == 1:
-            dst = pair_pos.astype(np.int32)
-        else:
-            dst = s_index_in_group[pair_pos].astype(np.int32)
-        _tm.lap("products.gather")
-        # one native pass: stable counting sort by dst applied to
-        # left/right/mid in place of perm materialization + four gathers
-        dst_s, left_s, right_s, mid_s = hostops.sort_apply3(
-            dst, s_sizes[dst_key], left_v, right_v, pair_lm)
-        _tm.lap("products.sort")
+        if plan_sorted is None:
+            if len(s_keys) == 1:
+                dst = pair_pos.astype(np.int32)
+            else:
+                dst = s_index_in_group[pair_pos].astype(np.int32)
+            _tm.lap("products.gather")
+            # one native pass: stable counting sort by dst applied to
+            # left/right/mid instead of perm materialization + 4 gathers
+            dst_s, left_s, right_s, mid_s = hostops.sort_apply3(
+                dst, s_sizes[dst_key], left_v, right_v, pair_lm)
+            _tm.lap("products.sort")
+        elif len(s_keys) > 1:
+            # fused plan emitted GLOBAL s ranks; remap to in-group index
+            # (monotone within the pair group — order preserved)
+            dst_s = s_index_in_group[dst_s].astype(np.int32)
         products.append(
             dict(
                 dims=(dp, dl, dp),

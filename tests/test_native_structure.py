@@ -132,3 +132,36 @@ def test_full_structures_bitwise_identical():
         if callable(a):
             continue
         _assert_equal_tree(a, b, f"hessian.{f.name}")
+
+
+@needs_native
+def test_schur_pair_plan_matches_stepwise():
+    """Fused pair_fill_sorted ≡ attach_pairs + bounded unique + stable
+    counting sort (the r3 freeze-path fusion)."""
+    rng = np.random.default_rng(7)
+    n_lm, n_pose, K = 400, 37, 6_000
+    att_lm = rng.integers(0, n_lm, K)
+    att_pose = rng.integers(0, n_pose, K)
+    vals = rng.integers(0, 1 << 20, K).astype(np.int32)
+    hpp_codes = np.unique(rng.integers(0, n_pose * n_pose, 150))
+
+    plan = hostops.schur_pair_plan(att_lm, att_pose, n_lm, n_pose, vals,
+                                   hpp_codes)
+    assert plan is not None
+    att_order, left, right, mid, dst, s_codes, hpp_pos = plan
+
+    # stepwise reference
+    (att_order2, counts, seg_off, ai, bi, pair_lm, pair_codes,
+     pose_a, pose_b) = hostops.attach_pairs(att_lm, att_pose, n_lm, n_pose)
+    np.testing.assert_array_equal(att_order, att_order2)
+    s_codes2, s_inv = hostops.unique_inverse(
+        np.concatenate([hpp_codes, pair_codes]), bound=n_pose * n_pose)
+    np.testing.assert_array_equal(s_codes, s_codes2)
+    np.testing.assert_array_equal(hpp_pos, s_inv[: hpp_codes.shape[0]])
+    pair_pos = s_inv[hpp_codes.shape[0]:]
+    vals_s = vals[att_order2]
+    order = np.argsort(pair_pos, kind="stable")
+    np.testing.assert_array_equal(dst, pair_pos[order])
+    np.testing.assert_array_equal(left, vals_s[ai][order])
+    np.testing.assert_array_equal(right, vals_s[bi][order])
+    np.testing.assert_array_equal(mid, np.asarray(pair_lm)[order])
