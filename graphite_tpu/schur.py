@@ -33,6 +33,7 @@ block matvec for PCG (:307-393), and landmark back-substitution
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Tuple
 
 import jax
@@ -935,6 +936,15 @@ def _partition_blocks_by_type(ss: SchurStructure, block_ids: np.ndarray):
     return out
 
 
+def _smv_chunk_rows(row_bytes: int) -> int:
+    """Scan-chunk rows for the folded S matvec (same byte budget as
+    streamreduce.map_chunk_rows; separate symbol so tests can monkeypatch
+    it to force the fold at toy scale)."""
+    from .ops.streamreduce import map_chunk_rows
+
+    return map_chunk_rows(row_bytes)
+
+
 class SchurOps:
     """Bundles static structure with one set of (damped) H values.
 
@@ -1083,6 +1093,52 @@ class SchurOps:
                     S_flat = _maybe_rows(problem, ck + ("sub",), S, sub)
                     crow_c = problem.const(ck + ("crow",),
                                            crow.astype(np.int32))
+
+                    row_bytes = (dr_k * dc_k + dr_k + dc_k + 3) * 4
+                    chunk = _smv_chunk_rows(row_bytes)
+                    if K > chunk and not os.environ.get(
+                            "GRAPHITE_TPU_NO_SMV_FOLD"):
+                        # Folded single-pass matvec for the scan regime:
+                        # one scan reads each S block ONCE and folds both
+                        # the forward (y_r += S x_c) and transposed
+                        # (y_c += S^T x_r, off-diagonal only) segment sums
+                        # into the carry — the stepwise path reads S twice
+                        # plus a full off-diagonal S gather (~3x the HBM
+                        # traffic at Venice-Final's 1.58M blocks).
+                        off = rows_b[sub] != cols_b[sub]
+                        x_rt = _wide_table(problem.rows_view(x, rt))
+                        rrow_c = problem.const(
+                            ck + ("rrow",), rrow_l.astype(np.int32))
+                        offm = problem.const(
+                            ck + ("offm",), off.astype(np.float32))
+                        nseg_r = problem.seg_rows[rt]
+                        nseg_c = problem.seg_rows[ct]
+
+                        def fold_body(carry, chunk_arrays, dr_k=dr_k,
+                                      dc_k=dc_k, x_ct=x_ct, x_rt=x_rt,
+                                      nseg_r=nseg_r, nseg_c=nseg_c):
+                            yr, yc = carry
+                            sf, cr, rr, om = chunk_arrays
+                            Sg = unflatten_blocks(sf, dr_k, dc_k)
+                            xc = x_ct[cr][:, :dc_k].astype(Sg.dtype)
+                            yf = jnp.einsum("krc,kc->kr", Sg, xc)
+                            xr = x_rt[rr][:, :dr_k].astype(Sg.dtype)
+                            yt = jnp.einsum("krc,kr->kc", Sg, xr)
+                            yt = yt * om[:, None].astype(Sg.dtype)
+                            yr = yr + jax.ops.segment_sum(
+                                yf.astype(gdt), rr, num_segments=nseg_r)
+                            yc = yc + jax.ops.segment_sum(
+                                yt.astype(gdt), cr, num_segments=nseg_c)
+                            return yr, yc
+
+                        carry0 = (jnp.zeros((nseg_r, dr_k), gdt),
+                                  jnp.zeros((nseg_c, dc_k), gdt))
+                        yr, yc = scan_accumulate(
+                            fold_body, (S_flat, crow_c, rrow_c, offm), K,
+                            chunk, carry0)
+                        add_rows(rt, yr)
+                        add_rows(ct, yc)
+                        continue
 
                     def y_fwd(chunk_arrays, dr_k=dr_k, dc_k=dc_k,
                               x_ct=x_ct):

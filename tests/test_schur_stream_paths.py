@@ -123,3 +123,21 @@ def test_streamed_parts_product_matches_simple(_force_stream, monkeypatch,
         np.testing.assert_allclose(
             np.asarray(sv2.s_vals[k]), np.asarray(sv_ref.s_vals[k]),
             rtol=1e-4, atol=1e-4)
+
+
+def test_s_matvec_folded_matches_stepwise(monkeypatch):
+    """The folded single-pass S matvec (one S read, fwd+transpose segment
+    sums in the scan carry) ≡ the stepwise two-stream path."""
+    problem, lin, hs, ss, hv, sv = _setup("ladybug")
+    ops = SchurOps(problem, ss, hv, sv)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=ss.dim_p).astype(np.float32))
+
+    monkeypatch.setenv("GRAPHITE_TPU_NO_SMV_FOLD", "1")
+    problem._cache.pop("consts", None)
+    y_step = np.asarray(ops.s_matvec(x))
+
+    monkeypatch.delenv("GRAPHITE_TPU_NO_SMV_FOLD")
+    monkeypatch.setattr(schur_mod, "_smv_chunk_rows", lambda rb: 128)
+    y_fold = np.asarray(ops.s_matvec(x))
+    np.testing.assert_allclose(y_fold, y_step, rtol=2e-6, atol=1e-4)
