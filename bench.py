@@ -113,7 +113,14 @@ def main():
         f"{ds.num_observations} obs, dim_h={problem.dim_h} "
         f"({time.perf_counter() - t0:.1f}s)")
 
-    solver = PCGSchurSolver(max_iter=10, tol=1.0, rejection_ratio=5.0)
+    import os as _os
+
+    # experiment knob: GRAPHITE_TPU_DENSE_SMV_LIMIT=16002 retries the
+    # dense-S PCG matvec at Venice-Final scale without a code edit
+    _dlim = int(_os.environ.get("GRAPHITE_TPU_DENSE_SMV_LIMIT", "0")) or None
+    solver = PCGSchurSolver(
+        max_iter=10, tol=1.0, rejection_ratio=5.0,
+        **({"dense_matvec_limit": _dlim} if _dlim else {}))
     opts = LevenbergMarquardtOptions(
         iterations=ITERATIONS, initial_damping=1e-4, jit_loop=True
     )

@@ -608,7 +608,12 @@ int64_t gx_pair_fill_sorted(const int64_t *counts, int64_t n_lm,
     }
   }
   for (int64_t i = 0; i < n_hpp; ++i) hpp_pos[i] = rank[hpp_codes[i]];
-  // pass 2: regenerate pairs, scatter to final dst-sorted positions
+  // pass 2: regenerate pairs, scatter to final dst-sorted positions.
+  // The four payloads are written INTERLEAVED (one 16-byte store per
+  // pair = one cache line touched instead of four random streams),
+  // then deinterleaved sequentially — measured ~2x on pass 2.
+  const int64_t total = base;
+  std::vector<int32_t> buf(static_cast<size_t>(total) * 4);
   for (int64_t l = 0; l < n_lm; ++l) {
     const int64_t c = counts[l], seg = seg_off[l];
     for (int64_t jj = 0; jj < c; ++jj) {
@@ -616,14 +621,27 @@ int64_t gx_pair_fill_sorted(const int64_t *counts, int64_t n_lm,
       const int32_t vb = att_vals[seg + jj];
       for (int64_t ii = 0; ii <= jj; ++ii) {
         const int64_t code = pbase + att_pose_s[seg + ii];
-        const int64_t p = cnt[code]++;
-        left[p] = att_vals[seg + ii];
-        right[p] = vb;
-        mid[p] = static_cast<int32_t>(l);
-        dst[p] = rank[code];
+        int32_t *q = buf.data() + static_cast<size_t>(cnt[code]++) * 4;
+        q[0] = att_vals[seg + ii];
+        q[1] = vb;
+        q[2] = static_cast<int32_t>(l);
+        q[3] = rank[code];
       }
     }
   }
+  int nt = num_threads();
+  if (total < (int64_t(1) << 21)) nt = 1;
+  const int64_t chunk = (total + nt - 1) / nt;
+  parallel_for_threads(nt, [&](int t) {
+    const int64_t lo = t * chunk, hi = std::min(lo + chunk, total);
+    for (int64_t i = lo; i < hi; ++i) {
+      const int32_t *q = buf.data() + static_cast<size_t>(i) * 4;
+      left[i] = q[0];
+      right[i] = q[1];
+      mid[i] = q[2];
+      dst[i] = q[3];
+    }
+  });
   return ns;
 }
 
