@@ -226,23 +226,32 @@ def build_hessian_structure(problem) -> HessianStructure:
         dkey, tkey = (ds, dt_), (dt_, ds)
         d_trash = group_counts.get(dkey, 0)
         t_trash = group_counts.get(tkey, 0)
-        vpos = np.nonzero(valid)[0]
-        inv_seg = code_inverse[seg_start:seg_start + vpos.shape[0]]
-        seg_start += vpos.shape[0]
+        all_valid = bool(valid.all())
+        n_valid = valid.size if all_valid else int(valid.sum())
+        inv_seg = code_inverse[seg_start:seg_start + n_valid]
+        seg_start += n_valid
         idx_norm = index_in_group[inv_seg]  # block index of (lo, hi) code
-        bs_v = bs[vpos]
-        bt_v = bt[vpos]
+        vpos = None if all_valid else np.nonzero(valid)[0]
+        bs_v = bs if all_valid else bs[vpos]
+        bt_v = bt if all_valid else bt[vpos]
         F = bs.shape[0]
         m_d = bs_v <= bt_v
         m_t = (bs_v > bt_v) | ((bs_v == bt_v) & (s < t))
         direct_idx = None
         trans_idx = None
-        if np.any(m_d):
+        if m_d.all() and all_valid:
+            # fully-valid, fully-direct source (self pairs; cross pairs
+            # with type-ordered block ids — every BAL/pose-graph source):
+            # the inverse segment IS the map, no fill + masked scatter
+            direct_idx = np.ascontiguousarray(idx_norm, dtype=np.int32)
+        elif np.any(m_d):
             direct_idx = np.full(F, d_trash, dtype=np.int32)
-            direct_idx[vpos[m_d]] = idx_norm[m_d]
+            sel = np.nonzero(m_d)[0] if all_valid else vpos[m_d]
+            direct_idx[sel] = idx_norm[m_d]
         if np.any(m_t):
             trans_idx = np.full(F, t_trash, dtype=np.int32)
-            trans_idx[vpos[m_t]] = idx_norm[m_t]
+            sel = np.nonzero(m_t)[0] if all_valid else vpos[m_t]
+            trans_idx[sel] = idx_norm[m_t]
         contribs.append(
             ContribMap(fname, s, t, dkey, direct_idx, tkey, trans_idx)
         )
