@@ -118,11 +118,21 @@ def build_graph(ds: BALDataset, precision=None, eliminate_points: bool = True,
     if loss is not None:
         ftype = dataclasses.replace(ftype, loss=loss)
     fs = g.add_factor_set(ftype)
+    # CSC-aligned observation order: sorted by (point, camera), the hot
+    # per-iteration reduction destinations come out sorted — the
+    # point-diagonal Hessian blocks, the Hpl/point-camera blocks (CSC
+    # order is exactly (col=point, row=camera)), and the Schur attach
+    # lists — so the streaming reduction kernels engage with NO
+    # per-iteration permutation gathers (reduce_rows_perm detects
+    # sortedness at plan time; saves ~GBs/iteration at Venice-Final).
+    # The problem is order-independent semantically; the reference keeps
+    # file order and pays with atomicAdd scatters (bal.cu:134-167).
+    order = np.lexsort((ds.cam_idx, ds.point_idx))
     ids = np.stack(
-        [ds.cam_idx, ds.num_cameras + ds.point_idx], axis=1
+        [ds.cam_idx[order], ds.num_cameras + ds.point_idx[order]], axis=1
     )
     fs.add_batch(
-        ids, obs=ds.observations,
+        ids, obs=ds.observations[order],
         loss_params=(None if loss_param is None
                      else np.full(ds.num_observations, loss_param)),
     )
