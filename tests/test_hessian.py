@@ -89,3 +89,26 @@ def test_csc_export():
                       shape=(problem.dim_h, problem.dim_h))
     Href, _ = dense_from_blocks(problem, lin)
     np.testing.assert_allclose(M.toarray(), Href, rtol=1e-12, atol=1e-13)
+
+
+def test_bal_loader_produces_sorted_reduction_destinations():
+    """The CSC-aligned observation order (io/bal.py) must keep the
+    point-diagonal and point-camera contribution destinations and the
+    Schur product plan sorted — the streaming reduction kernels depend on
+    it to skip per-iteration permutation gathers."""
+    import graphite_tpu as gt
+    from graphite_tpu.io import bal as bal_io
+    from graphite_tpu.io import synthetic
+    from graphite_tpu.schur import build_schur_structure
+
+    ds = synthetic.make_bal("mini", seed=1)
+    g, *_ = bal_io.build_graph(ds, precision=gt.FP32_FP32)
+    p = g.freeze()
+    hs = build_hessian_structure(p)
+    for cm in hs.contribs:
+        if cm.s == 0 and cm.t == 0:
+            continue  # camera diagonal: unsorted, few-segments path
+        assert cm.direct_idx is not None
+        assert np.all(np.diff(cm.direct_idx) >= 0), (cm.s, cm.t)
+    ss = build_schur_structure(p)
+    assert np.all(np.diff(ss.products[0]["dst"]) >= 0)
