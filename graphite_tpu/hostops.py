@@ -86,10 +86,21 @@ def schur_pair_plan(att_lm: np.ndarray, att_pose: np.ndarray, n_lm: int,
     if ns is None or not att_lm.size or n_pose * n_pose > (1 << 23):
         return None
     att_pose = np.asarray(att_pose, dtype=np.int64)
-    att_order, counts, total = ns.attach_sort(att_lm, att_pose, n_lm)
-    vals_s = np.asarray(vals, dtype=np.int32)[att_order]
+    # CSC-ordered loaders produce an attach list already sorted by
+    # (lm, pose) — detect it (one vector pass) and skip the sort
+    key = att_lm * n_pose + att_pose
+    if np.all(np.diff(key) >= 0):
+        att_order = np.arange(att_lm.shape[0], dtype=np.int64)
+        counts = np.bincount(att_lm, minlength=n_lm)
+        total = int((counts * (counts + 1) // 2).sum())
+        vals_s = np.ascontiguousarray(vals, dtype=np.int32)
+        att_pose_s = att_pose
+    else:
+        att_order, counts, total = ns.attach_sort(att_lm, att_pose, n_lm)
+        vals_s = np.asarray(vals, dtype=np.int32)[att_order]
+        att_pose_s = att_pose[att_order]
     left, right, mid, dst, s_codes, hpp_pos = ns.pair_fill_sorted(
-        counts, att_pose[att_order], vals_s, n_pose, total, hpp_codes)
+        counts, att_pose_s, vals_s, n_pose, total, hpp_codes)
     return att_order, left, right, mid, dst, s_codes, hpp_pos
 
 
