@@ -141,3 +141,18 @@ def test_s_matvec_folded_matches_stepwise(monkeypatch):
     monkeypatch.setattr(schur_mod, "_smv_chunk_rows", lambda rb: 128)
     y_fold = np.asarray(ops.s_matvec(x))
     np.testing.assert_allclose(y_fold, y_step, rtol=2e-6, atol=1e-4)
+
+
+def test_s_matvec_folded_bf16_storage(monkeypatch):
+    """Fold path with bf16 block storage (FP32_BF16) ≡ stepwise path."""
+    problem, lin, hs, ss, hv, sv = _setup("mini", precision=gt.FP32_BF16)
+    ops = SchurOps(problem, ss, hv, sv)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=ss.dim_p).astype(np.float32))
+
+    monkeypatch.setenv("GRAPHITE_TPU_NO_SMV_FOLD", "1")
+    y_step = np.asarray(ops.s_matvec(x))
+    monkeypatch.delenv("GRAPHITE_TPU_NO_SMV_FOLD")
+    monkeypatch.setattr(schur_mod, "_smv_chunk_rows", lambda rb: 16)
+    y_fold = np.asarray(ops.s_matvec(x))
+    np.testing.assert_allclose(y_fold, y_step, rtol=2e-2, atol=1e-2)
