@@ -104,7 +104,25 @@ def main():
     from graphite_tpu.schur import build_schur_structure, schur_values
     from graphite_tpu.solvers import PCGSchurSolver
 
-    log(f"devices: {jax.devices()}")
+    # Fail fast (not hang) when the axon tunnel's worker is down:
+    # jax.devices() blocks indefinitely on a dead worker (observed after a
+    # worker crash); probe it on a daemon thread with a hard deadline.
+    import threading
+
+    probe = {}
+
+    def _probe():
+        probe["devices"] = jax.devices()
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(timeout=float(
+        __import__("os").environ.get("GRAPHITE_TPU_DEVICE_TIMEOUT", "900")))
+    if "devices" not in probe:
+        log("FATAL: jax.devices() did not return within the deadline — "
+            "TPU worker down / tunnel wedged; no benchmark possible")
+        sys.exit(3)
+    log(f"devices: {probe['devices']}")
     t0 = time.perf_counter()
     ds = synthetic.make_bal(SIZE, seed=0)
     g, *_ = bal_io.build_graph(ds, precision=gt.FP32_FP32)
