@@ -107,17 +107,24 @@ def main():
     # Fail fast (not hang) when the axon tunnel's worker is down:
     # jax.devices() blocks indefinitely on a dead worker (observed after a
     # worker crash); probe it on a daemon thread with a hard deadline.
+    import os
     import threading
 
     probe = {}
 
     def _probe():
-        probe["devices"] = jax.devices()
+        try:
+            probe["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 - report, don't misdiagnose
+            probe["error"] = e
 
     th = threading.Thread(target=_probe, daemon=True)
     th.start()
     th.join(timeout=float(
-        __import__("os").environ.get("GRAPHITE_TPU_DEVICE_TIMEOUT", "900")))
+        os.environ.get("GRAPHITE_TPU_DEVICE_TIMEOUT", "900")))
+    if "error" in probe:
+        log(f"FATAL: jax.devices() raised: {probe['error']!r}")
+        sys.exit(3)
     if "devices" not in probe:
         log("FATAL: jax.devices() did not return within the deadline — "
             "TPU worker down / tunnel wedged; no benchmark possible")
@@ -131,11 +138,9 @@ def main():
         f"{ds.num_observations} obs, dim_h={problem.dim_h} "
         f"({time.perf_counter() - t0:.1f}s)")
 
-    import os as _os
-
     # experiment knob: GRAPHITE_TPU_DENSE_SMV_LIMIT=16002 retries the
     # dense-S PCG matvec at Venice-Final scale without a code edit
-    _dlim = int(_os.environ.get("GRAPHITE_TPU_DENSE_SMV_LIMIT", "0")) or None
+    _dlim = int(os.environ.get("GRAPHITE_TPU_DENSE_SMV_LIMIT", "0")) or None
     solver = PCGSchurSolver(
         max_iter=10, tol=1.0, rejection_ratio=5.0,
         **({"dense_matvec_limit": _dlim} if _dlim else {}))

@@ -90,15 +90,20 @@ def schur_pair_plan(att_lm: np.ndarray, att_pose: np.ndarray, n_lm: int,
     # (lm, pose) — detect it (one vector pass) and skip the sort
     key = att_lm * n_pose + att_pose
     if np.all(np.diff(key) >= 0):
-        att_order = np.arange(att_lm.shape[0], dtype=np.int64)
+        att_order = None  # identity; no caller consumes it on this path
         counts = np.bincount(att_lm, minlength=n_lm)
-        total = int((counts * (counts + 1) // 2).sum())
+        total = int((counts.astype(np.int64)
+                     * (counts + 1) // 2).sum())
         vals_s = np.ascontiguousarray(vals, dtype=np.int32)
         att_pose_s = att_pose
     else:
         att_order, counts, total = ns.attach_sort(att_lm, att_pose, n_lm)
         vals_s = np.asarray(vals, dtype=np.int32)[att_order]
         att_pose_s = att_pose[att_order]
+    if total >= (1 << 31):
+        # the fused kernel's int32 cursors would overflow; stepwise path
+        # (int64 positions) degrades gracefully instead
+        return None
     left, right, mid, dst, s_codes, hpp_pos = ns.pair_fill_sorted(
         counts, att_pose_s, vals_s, n_pose, total, hpp_codes)
     return att_order, left, right, mid, dst, s_codes, hpp_pos
@@ -133,7 +138,8 @@ def sort_apply3(keys: np.ndarray, n_buckets: int, p0, p1, p2):
     permutation to three int32 payloads in one native pass. NumPy fallback:
     argsort + four gathers. Returns (keys_sorted, q0, q1, q2)."""
     ns = _native()
-    if ns is not None and np.asarray(keys).size:
+    if (ns is not None and np.asarray(keys).size
+            and np.asarray(keys).shape[0] < (1 << 31)):
         return ns.counting_sort_apply3_i32(keys, n_buckets, p0, p1, p2)
     order = np.argsort(np.asarray(keys), kind="stable")
     return (np.asarray(keys, dtype=np.int32)[order],

@@ -101,6 +101,11 @@ def build_graph(ds: BALDataset, precision=None, eliminate_points: bool = True,
     Camera ids: [0, C); point ids: [C, C+P) — disjoint global id ranges.
     ``eliminate_points=True`` marks the point set for Schur elimination
     (bal.cu:155).
+
+    Observations are added in CSC-aligned (point, camera) order for
+    TPU-side reduction performance, so factor handles do NOT follow
+    dataset row order; use ``fs.handle_of_input[row]`` /
+    ``fs.input_order[handle]`` to convert.
     """
     import graphite_tpu as gt
     from ..models import bal as bal_model
@@ -136,4 +141,12 @@ def build_graph(ds: BALDataset, precision=None, eliminate_points: bool = True,
         loss_params=(None if loss_param is None
                      else np.full(ds.num_observations, loss_param)),
     )
+    # factor handles follow the SORTED order; expose both mappings so
+    # callers can still address observations by dataset row:
+    #   fs.input_order[h]     -> dataset row of handle h
+    #   fs.handle_of_input[r] -> handle of dataset row r
+    fs.input_order = order
+    handle_of_input = np.empty_like(order)
+    handle_of_input[order] = np.arange(order.shape[0], dtype=order.dtype)
+    fs.handle_of_input = handle_of_input
     return g, cams, pts, fs

@@ -130,3 +130,24 @@ def test_g2o_roundtrip_preserves_fix_and_info(tmp_path):
     np.testing.assert_allclose(ds2.information, ds.information, rtol=1e-12)
     np.testing.assert_allclose(ds2.measurements, ds.measurements,
                                rtol=1e-12)
+
+
+def test_bal_loader_handle_mappings():
+    """build_graph reorders observations (CSC-aligned); the exposed
+    handle<->dataset-row mappings must be mutual inverses and consistent
+    with the stored observation data."""
+    import numpy as np
+
+    from graphite_tpu.io import bal as bal_io
+    from graphite_tpu.io import synthetic
+
+    ds = synthetic.make_bal("mini", seed=3)
+    g, cams, pts, fs = bal_io.build_graph(ds)
+    order = fs.input_order
+    inv = fs.handle_of_input
+    n = ds.num_observations
+    assert np.array_equal(np.sort(order), np.arange(n))
+    assert np.array_equal(order[inv], np.arange(n))
+    # handle h stores dataset row order[h]'s observation
+    obs_arr = fs.obs_array()
+    np.testing.assert_allclose(obs_arr, ds.observations[order])
