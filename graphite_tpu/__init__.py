@@ -37,6 +37,7 @@ from .linearize import (
     hessian_matvec,
     linearize,
 )
+from .covariance import joint_covariance, marginal_covariances
 
 __version__ = "0.1.0"
 
@@ -50,4 +51,5 @@ __all__ = [
     "Graph", "Problem", "GraphData",
     "Linearization", "linearize", "compute_chi2", "apply_update",
     "hessian_matvec",
+    "joint_covariance", "marginal_covariances",
 ]
