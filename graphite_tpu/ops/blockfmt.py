@@ -107,8 +107,43 @@ def flat_block_mv(a_flat: jax.Array, x: jax.Array, m: int, k: int,
                   acc_dtype=None) -> jax.Array:
     """Per-row block matvec A @ x in flat layout.
 
-    a_flat: (N, m*k); x: (N, k). Returns (N, m).
+    a_flat: (N, m*k) row-major blocks; x: (N, k). Returns (N, m):
+    out[n, r] = sum_c A[n, r, c] * x[n, c].
+
+    Small-k blocks stay pure 2-D VPU work (k lane-strided slices of the
+    flat storage, each a (N, m) FMA): the former batched einsum forced a
+    tile-padded (N, m, k) relayout of the operand, which at Venice-Final's
+    1.58M 9x9 S blocks made each PCG matvec read ~25x its logical bytes
+    (56 ms vs the ~3 ms flat form, tools/smv_variant_probe.py).
     """
     acc_dtype = acc_dtype or jnp.result_type(a_flat.dtype, x.dtype)
-    a3 = a_flat.reshape(a_flat.shape[0], m, k).astype(acc_dtype)
-    return jnp.einsum("nmk,nk->nm", a3, x.astype(acc_dtype))
+    if k > 16:
+        a3 = a_flat.reshape(a_flat.shape[0], m, k).astype(acc_dtype)
+        return jnp.einsum("nmk,nk->nm", a3, x.astype(acc_dtype))
+    x = x.astype(acc_dtype)
+    out = None
+    for c in range(k):
+        term = a_flat[:, c::k].astype(acc_dtype) * x[:, c:c + 1]
+        out = term if out is None else out + term
+    return out
+
+
+def flat_block_mv_t(a_flat: jax.Array, x: jax.Array, m: int, k: int,
+                    acc_dtype=None) -> jax.Array:
+    """Per-row transposed block matvec A^T @ x in flat layout.
+
+    a_flat: (N, m*k) row-major blocks (m rows, k cols); x: (N, m).
+    Returns (N, k): out[n, c] = sum_r A[n, r, c] * x[n, r].
+    Pure 2-D VPU for small m (contiguous lane slices); see flat_block_mv.
+    """
+    acc_dtype = acc_dtype or jnp.result_type(a_flat.dtype, x.dtype)
+    if m > 16:
+        a3 = a_flat.reshape(a_flat.shape[0], m, k).astype(acc_dtype)
+        return jnp.einsum("nmk,nm->nk", a3, x.astype(acc_dtype))
+    x = x.astype(acc_dtype)
+    out = None
+    for r in range(m):
+        term = (a_flat[:, r * k:(r + 1) * k].astype(acc_dtype)
+                * x[:, r:r + 1])
+        out = term if out is None else out + term
+    return out

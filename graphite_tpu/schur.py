@@ -47,6 +47,8 @@ from .ops.batched_linalg import spd_inverse_flat
 from .ops.blockfmt import (
     flat_block_mm_nn,
     flat_block_mm_nt,
+    flat_block_mv,
+    flat_block_mv_t,
     flatten_blocks,
     unflatten_blocks,
 )
@@ -985,13 +987,10 @@ class SchurOps:
             # landmarks of this type, ordered by row == block order ✓
             order = np.argsort(rows, kind="stable")
             gidx = ss.lm_group_index[sel[order]].astype(np.int32)
-            inv = unflatten_blocks(
-                _maybe_rows(self.problem, ("hllsolve_gidx", t),
-                            self.sv.hll_inv[d], gidx), d, d,
-            )
-            out[t] = jnp.einsum(
-                "krc,kc->kr", inv, t_rows[t].astype(inv.dtype)
-            )
+            inv_flat = _maybe_rows(self.problem, ("hllsolve_gidx", t),
+                                   self.sv.hll_inv[d], gidx)
+            out[t] = flat_block_mv(inv_flat, t_rows[t], d, d,
+                                   acc_dtype=inv_flat.dtype)
         return out
 
     def b_schur(self, b: jax.Array) -> jax.Array:
@@ -1039,12 +1038,12 @@ class SchurOps:
                                            lrow.astype(np.int32))
 
                     def y_body(chunk_arrays, dp=dp, dl=dl, wlt=wlt):
+                        # flat VPU block matvec: no tile-padded (K, dp,
+                        # dl) relayout (ops/blockfmt.py)
                         hf, lr = chunk_arrays
-                        Hsub = unflatten_blocks(hf, dp, dl)
-                        return jnp.einsum(
-                            "kab,kb->ka", Hsub.astype(wlt.dtype),
-                            wlt[lr][:, :dl]
-                        ).astype(gdt)
+                        return flat_block_mv(
+                            hf, wlt[lr][:, :dl], dp, dl,
+                            acc_dtype=wlt.dtype).astype(gdt)
 
                     y = _mapped_rows(y_body, (Hsub_flat, lrow_c), K,
                                      (dp * dl + dp + dl) * 4)
@@ -1119,12 +1118,18 @@ class SchurOps:
                                       nseg_r=nseg_r, nseg_c=nseg_c):
                             yr, yc = carry
                             sf, cr, rr, om = chunk_arrays
-                            Sg = unflatten_blocks(sf, dr_k, dc_k)
-                            xc = x_ct[cr][:, :dc_k].astype(Sg.dtype)
-                            yf = jnp.einsum("krc,kc->kr", Sg, xc)
-                            xr = x_rt[rr][:, :dr_k].astype(Sg.dtype)
-                            yt = jnp.einsum("krc,kr->kc", Sg, xr)
-                            yt = yt * om[:, None].astype(Sg.dtype)
+                            # flat VPU matvecs in gdt accumulation: no
+                            # tile-padded (K, 9, 9) relayout — the former
+                            # einsum form made each Venice-Final matvec
+                            # read ~25x its logical bytes
+                            # (tools/smv_variant_probe.py)
+                            xc = x_ct[cr][:, :dc_k]
+                            yf = flat_block_mv(sf, xc, dr_k, dc_k,
+                                               acc_dtype=gdt)
+                            xr = x_rt[rr][:, :dr_k]
+                            yt = flat_block_mv_t(sf, xr, dr_k, dc_k,
+                                                 acc_dtype=gdt)
+                            yt = yt * om[:, None].astype(gdt)
                             yr = yr + jax.ops.segment_sum(
                                 yf.astype(gdt), rr, num_segments=nseg_r)
                             yc = yc + jax.ops.segment_sum(
@@ -1143,9 +1148,9 @@ class SchurOps:
                     def y_fwd(chunk_arrays, dr_k=dr_k, dc_k=dc_k,
                               x_ct=x_ct):
                         sf, cr = chunk_arrays
-                        Sg = unflatten_blocks(sf, dr_k, dc_k)
-                        xg = x_ct[cr][:, :dc_k].astype(Sg.dtype)
-                        return jnp.einsum("krc,kc->kr", Sg, xg).astype(gdt)
+                        return flat_block_mv(
+                            sf, x_ct[cr][:, :dc_k], dr_k, dc_k,
+                            acc_dtype=gdt)
 
                     y = _mapped_rows(y_fwd, (S_flat, crow_c), K,
                                      (dr_k * dc_k + dr_k + dc_k) * 4)
@@ -1170,11 +1175,9 @@ class SchurOps:
                         def y_t(chunk_arrays, dr_k=dr_k, dc_k=dc_k,
                                 x_rt=x_rt):
                             sf, rr = chunk_arrays
-                            St = jnp.swapaxes(
-                                unflatten_blocks(sf, dr_k, dc_k), -1, -2)
-                            xg2 = x_rt[rr][:, :dr_k].astype(St.dtype)
-                            return jnp.einsum(
-                                "kcr,kr->kc", St, xg2).astype(gdt)
+                            return flat_block_mv_t(
+                                sf, x_rt[rr][:, :dr_k], dr_k, dc_k,
+                                acc_dtype=gdt)
 
                         y2 = _mapped_rows(y_t, (St_flat, rrow_o), Ko,
                                           (dr_k * dc_k + dr_k + dc_k) * 4)
@@ -1226,12 +1229,11 @@ class SchurOps:
                         ck + ("pr",), prow[lsel].astype(np.int32))
 
                     def y_body(chunk_arrays, dp=dp, dl=dl, xrows=xrows):
+                        # flat VPU transposed block matvec (no 3-D
+                        # relayout, ops/blockfmt.py)
                         hf, pr = chunk_arrays
-                        Hsub = unflatten_blocks(hf, dp, dl)
-                        return jnp.einsum(
-                            "kab,ka->kb", Hsub.astype(gdt),
-                            xrows[pr][:, :dp].astype(gdt),
-                        )
+                        return flat_block_mv_t(
+                            hf, xrows[pr][:, :dp], dp, dl, acc_dtype=gdt)
 
                     y = _mapped_rows(y_body, (Hsub_flat, pr_c), K,
                                      (dp * dl + dp + dl) * 4)
