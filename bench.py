@@ -234,6 +234,18 @@ def main():
         ops = SchurOps(problem, ss, hv0, sv0)
         return acc + ops.s_matvec(b_s0 + acc * 1e-30)[0] * 1e-30
 
+    def smatvec_stream_body(i, acc, hv0, sv0, b_s0):
+        # what one solve pays: prepare_matvec (CSR-permuted +
+        # lane-transposed S copies, hoisted out of the PCG loop) + 10
+        # streaming matvecs — compare against 10x s_matvec_block
+        ops = SchurOps(problem, ss, hv0, sv0)
+        ops.prepare_matvec()
+
+        def inner(j, a):
+            return a + ops.s_matvec(b_s0 + a * 1e-30)[0] * 1e-30
+
+        return acc + jax.lax.fori_loop(0, 10, inner, acc * 1e-30)
+
     def dense_matvec_body(i, acc, sv0, b_s0):
         from graphite_tpu.solvers.dense_cholesky_schur import schur_to_dense
         S = schur_to_dense(problem, ss, sv0)
@@ -267,6 +279,8 @@ def main():
             ("b_schur", bschur_body, led.get("b_schur"),
              (hv0, sv0, lin0.b)),
             ("s_matvec_block", smatvec_body, None, (hv0, sv0, b_s0)),
+            ("s_matvec_stream_prep_plus_10mv", smatvec_stream_body, None,
+             (hv0, sv0, b_s0)),
             ("precond_apply", precond_body, led.get("precond"),
              (pstate0, b_s0)),
             ("backsub", backsub_body, led.get("backsub"),

@@ -947,6 +947,75 @@ def _smv_chunk_rows(row_bytes: int) -> int:
     return map_chunk_rows(row_bytes)
 
 
+def _plan_smv_stream(problem, ck, sub, rrow_l, crow_l, off,
+                     nseg_r, nseg_c, dr, dc, dtype):
+    """Freeze-time plan for the STREAMING S matvec site, or None.
+
+    The folded scan matvec (the `_s_matvec` default in the scan regime)
+    pays two unsorted XLA scatter-add segment_sums per call — ~14 ms each
+    at Venice-Final's 1.58M S blocks into 1778 pose rows — and with 10
+    PCG matvecs per solve those dominate the solve cost. This plan makes
+    both reductions destination-SORTED so the streaming Pallas kernel
+    (ops/pallas/segsum_stream.py) applies:
+
+    - forward (y_r += S x_c): stream a CSR-permuted copy of S (blocks
+      sorted by destination row);
+    - transposed (y_c += S^T x_r, off-diagonal masked): stream a
+      lane-transposed copy in the natural CSC order (the column
+      destination is already sorted).
+
+    Both copies are built ONCE PER SOLVE (`SchurOps.prepare_matvec`) and
+    amortized over the PCG iterations; per matvec only the x-row gathers
+    and one fused product+reduce kernel pass per direction remain.
+    Reference: the S block matvec of pcg_schur.hpp:108-163 /
+    schur.hpp:307-393 (whose atomicAdd scatter this restates as a
+    destination-sorted stream).
+    """
+    if os.environ.get("GRAPHITE_TPU_NO_SMV_STREAM"):
+        return None
+    cache = problem._cache.setdefault("smv_stream_sites", {})
+    if ck in cache:
+        return cache[ck]
+    site = None
+    K = sub.shape[0]
+    row_bytes = (dr * dc + dr + dc + 3) * 4
+    if K > _smv_chunk_rows(row_bytes):
+        perm = hostops.stable_argsort(
+            rrow_l.astype(np.int64), nseg_r).astype(np.int64)
+        plan_f = _get_stream_plan(problem, ck + ("sf",),
+                                  rrow_l[perm].astype(np.int32),
+                                  nseg_r, dtype)
+        plan_t = _get_stream_plan(problem, ck + ("st",),
+                                  crow_l.astype(np.int32), nseg_c, dtype)
+        if plan_f is not None and plan_t is not None:
+            kf, kt = plan_f["k_pad"], plan_t["k_pad"]
+
+            def pad_idx(a, k_pad):
+                # pad rows land on the plan's trailing TRASH segment, so
+                # any in-range source index works
+                return np.concatenate(
+                    [a.astype(np.int32),
+                     np.zeros(k_pad - K, np.int32)])
+
+            # flat lane transpose: T[c*dr + r] = r*dc + c, so
+            # S[:, lane_t] is the flat row-major (dc, dr) view of S^T
+            lane_t = (np.arange(dr * dc, dtype=np.int32)
+                      .reshape(dr, dc).T.reshape(-1))
+            site = dict(
+                plan_f=plan_f, plan_t=plan_t,
+                idx_f=pad_idx(sub[perm], kf),
+                colidx_f=pad_idx(crow_l[perm], kf),
+                idx_t=pad_idx(sub, kt),
+                rowidx_t=pad_idx(rrow_l, kt),
+                offm=np.concatenate(
+                    [off.astype(np.float32),
+                     np.zeros(kt - K, np.float32)]),
+                lane_t=lane_t,
+            )
+    cache[ck] = site
+    return site
+
+
 class SchurOps:
     """Bundles static structure with one set of (damped) H values.
 
@@ -962,6 +1031,63 @@ class SchurOps:
         self.hvals = hvals
         self.sv = sv
         self._gdt = problem.precision.graph_dtype
+        # per-solve streaming-matvec operands; filled by prepare_matvec()
+        self._smv_prep = {}
+
+    def prepare_matvec(self):
+        """Hoist the per-solve operands of the STREAMING S matvec out of
+        the PCG loop (see `_plan_smv_stream`): the CSR-permuted wide copy
+        of S (forward direction) and the lane-transposed padded copy in
+        natural CSC order (transposed contributions). Call once per
+        solve, BEFORE `run_pcg` traces `s_matvec` into its while_loop
+        body, so both copies are loop-invariant and each of the ~10 PCG
+        matvecs pays only two x-row gathers + two fused streaming kernel
+        passes. Memory note: the original S block values are dead during
+        the PCG loop (b_schur and the preconditioner consume them before
+        it, landmark back-substitution reads Hpl/Hll^{-1}, not S), so the
+        steady-state cost of the two copies is ~one extra S.
+        """
+        problem = self.problem
+        ss = self.ss
+        prep = {}
+        for key in ss.s_keys:
+            dr_k, dc_k = key
+            S = self.sv.s_vals[key]
+            if not _use_pallas(problem, S.dtype):
+                continue
+            rows_b, cols_b = ss.s_rows[key], ss.s_cols[key]
+            for rt, rsel, rrow in self._cached_partition(
+                    f"s_rows_{key}", rows_b):
+                for ct, csel, crow in self._cached_partition(
+                        f"s_cols_{key}_{rt}", cols_b[rsel]):
+                    sub = rsel[csel]
+                    ck = ("smv", key, rt, ct)
+                    off = rows_b[sub] != cols_b[sub]
+                    site = _plan_smv_stream(
+                        problem, ck, sub, rrow[csel], crow, off,
+                        problem.seg_rows[rt], problem.seg_rows[ct],
+                        dr_k, dc_k, S.dtype)
+                    if site is None:
+                        continue
+                    Sw = _wide_table(S)
+                    S_f = Sw[problem.const(ck + ("sfidx",),
+                                           site["idx_f"])]
+                    # exact flat lane transpose via a one-hot matmul
+                    # (every output lane copies exactly one input lane —
+                    # exact at any matmul precision; a lane-dim gather
+                    # has no TPU fast path)
+                    d = dr_k * dc_k
+                    P = np.zeros((d, d), np.float32)
+                    P[site["lane_t"], np.arange(d)] = 1.0
+                    S_t_full = jax.lax.dot_general(
+                        S.astype(jnp.float32), jnp.asarray(P),
+                        (((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                    ).astype(S.dtype)
+                    S_t = _wide_table(S_t_full)[
+                        problem.const(ck + ("stidx",), site["idx_t"])]
+                    prep[ck] = (site, S_f, S_t)
+        self._smv_prep = prep
 
     def hpl(self, key):
         return _maybe_rows(self.problem, ("hpl_h", key), self.hvals[key],
@@ -1084,6 +1210,41 @@ class SchurOps:
                     ck = ("smv", key, rt, ct)
                     K = sub.shape[0]
                     rrow_l = rrow[csel]
+
+                    prep = self._smv_prep.get(ck)
+                    if prep is not None:
+                        # STREAMING matvec (prepare_matvec was called):
+                        # both directions are destination-sorted fused
+                        # product+reduce kernel passes — no scatter-add
+                        # segment_sums, S read exactly twice per matvec
+                        from .ops.pallas.segsum_stream import (
+                            streaming_segment_product_sum,
+                        )
+
+                        site, S_f, S_t = prep
+                        xw_ct = _wide_table(problem.rows_view(x, ct))
+                        right_f = xw_ct[problem.const(
+                            ck + ("scolf",), site["colidx_f"])]
+                        yr = streaming_segment_product_sum(
+                            S_f, right_f.astype(S_f.dtype),
+                            site["plan_f"], dr_k, dc_k, 1,
+                            **_stream_consts(problem, ck + ("sf",),
+                                             site["plan_f"]))
+                        add_rows(rt, yr.astype(gdt))
+                        xw_rt = _wide_table(problem.rows_view(x, rt))
+                        offm = problem.const(ck + ("soffm",),
+                                              site["offm"])
+                        right_t = (xw_rt[problem.const(
+                            ck + ("srowt",), site["rowidx_t"])]
+                            * offm[:, None])
+                        yc = streaming_segment_product_sum(
+                            S_t, right_t.astype(S_t.dtype),
+                            site["plan_t"], dc_k, dr_k, 1,
+                            **_stream_consts(problem, ck + ("st",),
+                                             site["plan_t"]))
+                        add_rows(ct, yc.astype(gdt))
+                        continue
+
                     x_ct = _wide_table(problem.rows_view(x, ct))
                     # Forward S x in natural CSC order: the wide S-block
                     # gather is typically iota (eliminated); the row-block

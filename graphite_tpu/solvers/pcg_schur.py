@@ -113,6 +113,10 @@ class PCGSchurSolver:
             def matvec(p):
                 return (S @ p.astype(S.dtype)).astype(gdt)
         else:
+            # hoist the streaming-matvec operands (CSR-permuted /
+            # lane-transposed S copies) out of the PCG while_loop — they
+            # are loop-invariant and amortize over max_iter matvecs
+            ops.prepare_matvec()
             matvec = ops.s_matvec
 
         dx_p = run_pcg(b_s, matvec, precond, self.max_iter, self.tol,

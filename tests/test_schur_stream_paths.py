@@ -125,6 +125,58 @@ def test_streamed_parts_product_matches_simple(_force_stream, monkeypatch,
             rtol=1e-4, atol=1e-4)
 
 
+def test_s_matvec_streaming_matches_fallback(_force_stream, monkeypatch):
+    """prepare_matvec + the streaming S matvec (CSR-permuted forward
+    stream + lane-transposed CSC stream, ops/pallas/segsum_stream.py)
+    ≡ the portable folded/stepwise path."""
+    monkeypatch.setattr(schur_mod, "_smv_chunk_rows", lambda rb: 4)
+    problem, lin, hs, ss, hv, sv = _setup()
+    ops = SchurOps(problem, ss, hv, sv)
+    ops.prepare_matvec()
+    assert ops._smv_prep, "no streaming matvec site engaged"
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=ss.dim_p).astype(np.float32))
+    y = np.asarray(ops.s_matvec(x))
+
+    # fresh problem, no prepare -> folded/stepwise XLA path
+    problem2, lin2, hs2, ss2, hv2, sv2 = _setup()
+    y2 = np.asarray(SchurOps(problem2, ss2, hv2, sv2).s_matvec(x))
+    np.testing.assert_allclose(y, y2, rtol=1e-5, atol=1e-4)
+
+    # kill switch restores the fallback even after prepare_matvec
+    monkeypatch.setenv("GRAPHITE_TPU_NO_SMV_STREAM", "1")
+    problem3, lin3, hs3, ss3, hv3, sv3 = _setup()
+    ops3 = SchurOps(problem3, ss3, hv3, sv3)
+    ops3.prepare_matvec()
+    assert not ops3._smv_prep
+
+
+def test_pcg_schur_solve_with_streaming_matvec(_force_stream, monkeypatch):
+    """Full PCGSchurSolver.solve with the streaming matvec engaged (the
+    prepared S copies ride the PCG while_loop as loop invariants) ≡ the
+    same solve with the kill switch set."""
+    monkeypatch.setattr(schur_mod, "_smv_chunk_rows", lambda rb: 4)
+    from graphite_tpu.solvers import PCGSchurSolver
+
+    solver = PCGSchurSolver(max_iter=5, dense_matvec_limit=0,
+                            fused_pcg_limit=0)
+    damping = jnp.asarray(1e-2, jnp.float32)
+
+    problem, lin, hs, ss, hv, sv = _setup()
+    st = solver.prepare(problem, lin)
+    dx, ok = solver.solve(problem, lin, st, damping, False)
+    sites = problem._cache.get("smv_stream_sites", {})
+    assert any(v is not None for v in sites.values()), (
+        "streaming matvec did not engage in the solve")
+
+    monkeypatch.setenv("GRAPHITE_TPU_NO_SMV_STREAM", "1")
+    problem2, lin2, hs2, ss2, hv2, sv2 = _setup()
+    st2 = solver.prepare(problem2, lin2)
+    dx2, ok2 = solver.solve(problem2, lin2, st2, damping, False)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx2),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_s_matvec_folded_matches_stepwise(monkeypatch):
     """The folded single-pass S matvec (one S read, fwd+transpose segment
     sums in the scan carry) ≡ the stepwise two-stream path."""

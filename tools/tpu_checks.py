@@ -151,6 +151,25 @@ def main():
     log(f"2d. blocked cholesky solve rel err: {rel_ch:.2e}")
     assert rel_ch < 1e-4, rel_ch
 
+    # 2e. streaming S matvec (prepare_matvec: CSR-permuted forward +
+    # lane-transposed CSC streams) vs the folded XLA path, on-chip
+    saved_chunk = schur_mod._smv_chunk_rows
+    try:
+        schur_mod._smv_chunk_rows = lambda rb: 4  # engage at mini scale
+        problem._cache.pop("smv_stream_sites", None)
+        ops_s = SchurOps(problem, ss, hv, sv)
+        ops_s.prepare_matvec()
+        assert ops_s._smv_prep, "streaming matvec site did not engage"
+        x_mv = jnp.asarray(rng.standard_normal(ss.dim_p).astype(np.float32))
+        y_stream = np.asarray(ops_s.s_matvec(x_mv), dtype=np.float64)
+        y_ref = S_ref @ np.asarray(x_mv, dtype=np.float64)
+        rel_mv = np.abs(y_stream - y_ref).max() / np.abs(y_ref).max()
+        log(f"2e. streaming s_matvec rel err: {rel_mv:.2e}")
+        assert rel_mv < 2e-5, rel_mv
+    finally:
+        schur_mod._smv_chunk_rows = saved_chunk
+        problem._cache.pop("smv_stream_sites", None)
+
     # 3. end-to-end LM
     from graphite_tpu.optimizers import (
         LevenbergMarquardtOptions, levenberg_marquardt,
