@@ -369,12 +369,42 @@ def _kernel_prod(starts_ref, nflush_ref, bases_ref, left_ref, right_ref,
         w0 = starts_ref[i]
         seg_row = seg_ref[pl.ds(jax.lax.rem(i, jnp.int32(8)), 1), :]  # (1, chunk)
         d = m * n
-        # in-kernel flat block product A @ B^T via per-slice expansion
-        # matmuls (bounded (chunk, d) temporaries)
         left = left_ref[:].astype(jnp.float32)
         right = right_ref[:].astype(jnp.float32)
-        prod = None
-        for b in range(kdim):
+        if n == 1:
+            # block-MATVEC fast path (prod = A(m,k) @ x(k,)): the
+            # per-slice loop below keeps kdim live (chunk, d) temporary
+            # pairs on the Mosaic stack — at kdim=9/chunk=2048 that is
+            # ~18 MB and blows the 16 MB scoped-VMEM limit (observed at
+            # Venice-Final). Instead: ONE expansion matmul tiles x's k
+            # lanes into each of A's m row-slots (T[b, a*k+b] = 1, pure
+            # copies), an exact f32 elementwise multiply, then a k-wise
+            # one-hot reduction (G[a*k+b, a] = 1, f32 MXU accumulate) —
+            # two matmuls and bounded (chunk, lw) temporaries. Dead
+            # lanes past m*k hold zeros in the width-padded left rows,
+            # and j >= m*k gives j//k >= m, so neither expansion needs
+            # an explicit mask.
+            row_t = jax.lax.broadcasted_iota(jnp.int32, (rw, lw), 0)
+            col_t = jax.lax.broadcasted_iota(jnp.int32, (rw, lw), 1)
+            T = (row_t == col_t % kdim).astype(jnp.float32)
+            x_tiled = jax.lax.dot_general(
+                right, T, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            row_g = jax.lax.broadcasted_iota(jnp.int32, (lw, d), 0)
+            col_g = jax.lax.broadcasted_iota(jnp.int32, (lw, d), 1)
+            G = (row_g // kdim == col_g).astype(jnp.float32)
+            prod = jax.lax.dot_general(
+                left * x_tiled, G, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            prod = None
+        # in-kernel flat block product A @ B^T via per-slice expansion
+        # matmuls (bounded (chunk, d) temporaries)
+        for b in range(kdim if n > 1 else 0):
             P, Q = _expansion_onehots_slice(m, kdim, n, b, lw=lw, rw=rw)
             lexp = jax.lax.dot_general(
                 left, P, (((1,), (0,)), ((), ())),
