@@ -476,7 +476,7 @@ def _run_prod(left_pad, right_pad, seg_pad, starts, nflush, bases, *, chunk,
 def streaming_segment_product_sum(left: jax.Array, right: jax.Array,
                                   plan: dict, m: int, k: int, n: int,
                                   seg_pad=None, starts=None, nflush=None,
-                                  bases=None) -> jax.Array:
+                                  bases=None, out_dtype=None) -> jax.Array:
     """Fused flat-block-product + destination-sorted segmented reduction.
 
     ``left`` (k_pad, m*k) and ``right`` (k_pad, n*k) are the destination-
@@ -503,13 +503,16 @@ def streaming_segment_product_sum(left: jax.Array, right: jax.Array,
         nflush = jnp.asarray(plan["nflush"])
     if bases is None:
         bases = jnp.asarray(plan["bases"])
+    # inputs may be low-precision STREAMS (bf16 gathered copies — pure
+    # bandwidth savings); the kernel loads->f32 and accumulates in f32, so
+    # out_dtype (default: the input dtype) controls only the final cast
     return _run_prod(
         left, right, seg_pad, starts, nflush, bases,
         chunk=plan["chunk"], w_pad=plan["w_pad"], f=plan["f"], a=plan["a"],
         n_chunks=plan["n_chunks"], n_steps=plan["n_steps"],
         k_pad=k_pad, out_alloc=plan["out_alloc"],
         num_segments=plan["num_segments"], m=m, kdim=k, n=n, lw=lw, rw=rw,
-    ).astype(left.dtype)
+    ).astype(out_dtype or left.dtype)
 
 
 def streaming_segment_sum(values: jax.Array, plan: dict, seg_pad=None,

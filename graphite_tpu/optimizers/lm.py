@@ -289,22 +289,30 @@ def levenberg_marquardt(problem, solver, params=None,
                 return carry0.chi2, jax.lax.while_loop(cond, step, carry0)
 
             problem._cache[key] = problem.jit_with_consts(run_all)
+        t0 = _time.perf_counter()
         initial_chi2, carry = problem._cache[key](params)
         # ONE batched device->host transfer: individual float()/int() pulls
         # each pay a full RPC round-trip on remote-attached TPUs.
         chi2, initial_chi2, mu, k, num_accepted, run, trace = jax.device_get(
             (carry.chi2, initial_chi2, carry.mu, carry.k,
              carry.num_accepted, carry.run, carry.trace))
+        wall = _time.perf_counter() - t0
         # rebuild the per-iteration table from the on-device trace (parity
         # with the reference's always-printed table on the fast path)
         history = []
         prev = float(initial_chi2)
+        # The fused while_loop has no per-iteration host sync, so the only
+        # observable per-iteration wall clock is the AVERAGE over the run
+        # (wall includes initial linearize + compile-cache hit + readback;
+        # the reference prints true per-iteration times because it syncs
+        # every iteration, levenberg_marquardt.hpp:153-163).
+        avg_dt = wall / max(int(k), 1)
         for i in range(int(k)):
             c_i, mu_i, rho_i, acc_i = (float(trace[i, 0]), float(trace[i, 1]),
                                        float(trace[i, 2]), float(trace[i, 3]))
             history.append(
                 dict(iteration=i, chi2_before=prev, chi2=c_i, mu=mu_i,
-                     rho=rho_i, accepted=bool(acc_i), time=None))
+                     rho=rho_i, accepted=bool(acc_i), time=avg_dt))
             prev = c_i
         if options.verbose and history:
             hdr = (f"{'Iteration':>12} {'Initial Chi2':>18} "

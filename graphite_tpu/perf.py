@@ -176,6 +176,69 @@ def flop_ledger(problem, pcg_iters: int = 10,
     return ledger
 
 
+def bytes_ledger(problem, pcg_iters: int = 10) -> Dict[str, float]:
+    """Logical HBM byte floor per stage (read every operand once, write
+    every output once, at the algorithm's own granularity — no gather-row
+    padding, no materialized gather buffers, no scan-carry re-reads).
+
+    This workload is bandwidth-bound (3x3..9x9 block gather/scatter), so
+    the meaningful roofline is achieved GB/s against these bytes, not
+    GFLOP/s (VERDICT r3: the two dominant Venice-Final stages sat 6-10x
+    below the measured gather fast path with nobody able to see it).
+    bench.py reports ``gbps_floor = bytes_floor / measured_ms`` per stage
+    alongside XLA's own bytes-accessed figure for the compiled program.
+
+    Granularity choices (documented so the ratios mean something):
+    - ``schur_values``: per-PAIR streams — every triple product reads one
+      W row (dpa*dl) and one Hpl row (dpb*dl); plus the W build (read Hpl
+      + Hll^{-1}, write W) and the S output written once.
+    - ``pcg_matvec``: S blocks read twice per matvec (forward + transposed
+      directions of the streaming/folded matvec) + x gathers + y.
+    - ``b_schur``/``backsub``: Hpl read once + the landmark solve tables.
+    """
+    from .hessian import build_hessian_structure
+    from .schur import build_schur_structure
+
+    build_hessian_structure(problem)
+    B: Dict[str, float] = {}
+    if problem.elimination_block >= problem.n_blocks:
+        return B
+    ss = build_schur_structure(problem)
+    f = 4.0  # f32 storage on the hot path
+
+    attach = {k: float(ss.hpl_h_idx[k].shape[0]) for k in ss.hpl_keys}
+    n_lm_bytes = sum(
+        float(ss.lm_h_idx[d].shape[0]) * d * d * f for d in ss.lm_dims)
+    s_bytes = sum(
+        float(ss.s_sizes[k]) * k[0] * k[1] * f for k in ss.s_keys)
+
+    # W build: read Hpl + expanded Hll^{-1}, write W
+    w_build = sum(
+        a * (2.0 * k[0] * k[1] + k[1] * k[1]) * f
+        for k, a in attach.items())
+    # pair streams: each product reads a W row and an Hpl row
+    pair_stream = sum(
+        float(pg["dst"].shape[0])
+        * (pg["dims"][0] + pg["dims"][2]) * pg["dims"][1] * f
+        for pg in ss.products)
+    B["schur_values"] = w_build + n_lm_bytes + pair_stream + 2.0 * s_bytes
+
+    B["b_schur"] = (
+        sum(a * k[0] * k[1] * f for k, a in attach.items())
+        + 2.0 * n_lm_bytes + ss.dim_p * f)
+
+    x_bytes = sum(
+        float(ss.s_sizes[k]) * (k[0] + k[1]) * f for k in ss.s_keys)
+    B["pcg_matvec"] = (pcg_iters + 1) * (2.0 * s_bytes + x_bytes
+                                         + 2.0 * ss.dim_p * f)
+    B["s_matvec"] = 2.0 * s_bytes + x_bytes + 2.0 * ss.dim_p * f
+
+    B["backsub"] = (
+        sum(a * k[0] * k[1] * f for k, a in attach.items())
+        + 2.0 * n_lm_bytes)
+    return B
+
+
 # ---------------------------------------------------------------------------
 # Freeze-time section tracing
 # ---------------------------------------------------------------------------

@@ -95,6 +95,32 @@ class Precision:
         return "highest"
 
     @property
+    def stream_dtype(self):
+        """Storage dtype for the HBM-streamed gather copies on the hot
+        Schur paths (the W/Hpl pair streams feeding the fused triple-
+        product kernel, the S-matvec copies, the x row streams).
+
+        These copies are pure bandwidth: the kernels upcast to f32 on
+        load and accumulate in f32, so storing them in bf16 halves the
+        dominant HBM traffic of the two stages that bound Venice-Final
+        throughput (BENCHMARKS.md r3 stage table) at a ~2^-8 relative
+        rounding of the *operands* only. Default: bf16 whenever the
+        solver dtype is already low-precision (the user accepted
+        low-precision storage; the reference exposes the same trade,
+        examples/bal.cu:311-314), full ``inv_dtype`` otherwise.
+        ``GRAPHITE_TPU_STREAM_DTYPE`` in {bf16, f32} overrides — e.g.
+        bf16 streams under an otherwise-f32 policy.
+        """
+        import os
+
+        override = os.environ.get("GRAPHITE_TPU_STREAM_DTYPE")
+        if override:
+            return {"bf16": jnp.bfloat16, "f32": jnp.float32}[override]
+        if is_low_precision(self.solver_dtype):
+            return jnp.bfloat16
+        return self.inv_dtype
+
+    @property
     def acc_dtype(self):
         """Accumulation dtype for MXU contractions (>= fp32)."""
         g = jnp.dtype(self.graph_dtype)

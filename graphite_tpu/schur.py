@@ -682,15 +682,20 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
                 # falls back to the two-pass handoff.
                 fused = not _os.environ.get("GRAPHITE_TPU_NO_FUSED_STREAM")
 
-                # XLA's row gather flips to a fast path at >= 256 row
-                # bytes (64 f32 lanes): 90-113 GB/s vs 11 GB/s below
-                # (tools/gather_width_probe.py). The 17M-pair W / Hpl
-                # gathers dominate this stage, so factor rows narrower
-                # than 64 lanes are zero-padded once; the product slices
-                # the live lanes back out (XLA fuses the slice), and the
-                # kernel's expansion one-hots ignore dead lanes exactly.
-                Wg_src = _wide_table(Wsrc)
-                Rg_src = _wide_table(Rsrc.astype(inv_dt))
+                # XLA's row gather flips to a fast path at >= 64 row
+                # LANES (any dtype): 90-113 GB/s f32 vs 11 GB/s below
+                # (tools/gather_width_probe.py, tools/r4_bf16_probe.py).
+                # The 17M-pair W / Hpl gathers dominate this stage, so
+                # factor rows narrower than 64 lanes are zero-padded once;
+                # the product slices the live lanes back out (XLA fuses
+                # the slice), and the kernel's expansion one-hots ignore
+                # dead lanes exactly. The streams are stored in
+                # ``stream_dtype`` (bf16 under low-precision policies —
+                # halves the dominant gather traffic; the kernel loads ->
+                # f32 and accumulates in f32 either way).
+                sdt = jnp.dtype(problem.precision.stream_dtype)
+                Wg_src = _wide_table(Wsrc.astype(sdt))
+                Rg_src = _wide_table(Rsrc.astype(sdt))
 
                 for p, part in enumerate(parts):
                     if _max_parts and p >= _max_parts:
@@ -719,7 +724,8 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
                     if fused:
                         acc = streaming_segment_product_sum(
                             Wg_src[li], Rg_src[ri], plan,
-                            dpa, dl, dpb, **stream_consts,
+                            dpa, dl, dpb, out_dtype=inv_dt,
+                            **stream_consts,
                         )
                     else:
                         # default: one wide gather per factor (fast-path
@@ -980,8 +986,14 @@ def _plan_smv_stream(problem, ck, sub, rrow_l, crow_l, off,
     K = sub.shape[0]
     row_bytes = (dr * dc + dr + dc + 3) * 4
     if K > _smv_chunk_rows(row_bytes):
+        # nseg_r + 1 buckets: the native counting sort writes
+        # count[key + 1] over a (n_buckets + 1)-sized vector, so a
+        # trash-row destination (== nseg_r, the seg_rows convention for
+        # masked blocks) must be in range. S structure currently excludes
+        # inactive blocks, but linearize.py uses the same convention
+        # defensively.
         perm = hostops.stable_argsort(
-            rrow_l.astype(np.int64), nseg_r).astype(np.int64)
+            rrow_l.astype(np.int64), nseg_r + 1).astype(np.int64)
         plan_f = _get_stream_plan(problem, ck + ("sf",),
                                   rrow_l[perm].astype(np.int32),
                                   nseg_r, dtype)
@@ -1056,6 +1068,8 @@ class SchurOps:
             if not _use_pallas(problem, S.dtype):
                 continue
             rows_b, cols_b = ss.s_rows[key], ss.s_cols[key]
+            # discover the streaming sites first (host-side planning only)
+            sites = []
             for rt, rsel, rrow in self._cached_partition(
                     f"s_rows_{key}", rows_b):
                 for ct, csel, crow in self._cached_partition(
@@ -1067,26 +1081,45 @@ class SchurOps:
                         problem, ck, sub, rrow[csel], crow, off,
                         problem.seg_rows[rt], problem.seg_rows[ct],
                         dr_k, dc_k, S.dtype)
-                    if site is None:
-                        continue
-                    Sw = _wide_table(S)
-                    S_f = Sw[problem.const(ck + ("sfidx",),
-                                           site["idx_f"])]
-                    # exact flat lane transpose via a one-hot matmul
-                    # (every output lane copies exactly one input lane —
-                    # exact at any matmul precision; a lane-dim gather
-                    # has no TPU fast path)
-                    d = dr_k * dc_k
-                    P = np.zeros((d, d), np.float32)
-                    P[site["lane_t"], np.arange(d)] = 1.0
-                    S_t_full = jax.lax.dot_general(
-                        S.astype(jnp.float32), jnp.asarray(P),
-                        (((1,), (0,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
-                    ).astype(S.dtype)
-                    S_t = _wide_table(S_t_full)[
-                        problem.const(ck + ("stidx",), site["idx_t"])]
-                    prep[ck] = (site, S_f, S_t)
+                    if site is not None:
+                        sites.append((ck, site))
+            if not sites:
+                continue
+            # S_t_full (the lane-transposed full table) and the wide view
+            # of S depend only on the key — computed ONCE per key, not per
+            # (row-type, col-type) partition pair (with multiple pose
+            # types that duplicated a 0.5 GB-scale matmul per pair).
+            # Exact flat lane transpose via a one-hot matmul (every output
+            # lane copies exactly one input lane — exact at any matmul
+            # precision; a lane-dim gather has no TPU fast path).
+            d = dr_k * dc_k
+            lane_t = sites[0][1]["lane_t"]
+            P = np.zeros((d, d), np.float32)
+            P[lane_t, np.arange(d)] = 1.0
+            # per-solve copies are pure bandwidth -> stream_dtype storage
+            # (bf16 under low-precision policies halves every PCG
+            # matvec's S traffic; the kernel accumulates in f32)
+            sdt = jnp.dtype(problem.precision.stream_dtype)
+            S_t_full = jax.lax.dot_general(
+                S.astype(jnp.float32), jnp.asarray(P),
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(sdt)
+            # HBM transient ordering: all S_t gathers run BEFORE any S_f
+            # gather so S_t_full is dead once the S_f copies materialize —
+            # peak live set is {S, S_t_full, S_t} then {S, S_t, S_f}
+            # (~3 S copies), not all four at once. Venice-Final runs 1-2 GB
+            # from the HBM limit (CLAUDE.md), so the PREP transient is the
+            # number that can crash the worker, not the steady state.
+            St_w = _wide_table(S_t_full)
+            s_ts = {
+                ck: St_w[problem.const(ck + ("stidx",), site["idx_t"])]
+                for ck, site in sites
+            }
+            Sw = _wide_table(S.astype(sdt))
+            for ck, site in sites:
+                S_f = Sw[problem.const(ck + ("sfidx",), site["idx_f"])]
+                prep[ck] = (site, S_f, s_ts[ck])
         self._smv_prep = prep
 
     def hpl(self, key):
@@ -1149,30 +1182,63 @@ class SchurOps:
                     sub = psel[lsel]
                     ck = ("bschur", key, pt, lt)
                     K = sub.shape[0]
-                    # 5M-row lookup from the (n_lm, dl) solve table: pad
-                    # to the fast-gather width, slice live lanes inside
-                    wlt = _wide_table(w[lt])
                     # Natural (lm, pose)-sorted order: the Hpl gather is
-                    # typically iota (eliminated) and the w gather is a
-                    # narrow lookup from the small per-landmark solve
-                    # table. The pose-row destination is unsorted, but
-                    # with ~n_pose segments one XLA segment_sum is cheap
-                    # (44 ms at K=5M into 1.8k rows, gather_micro.py).
+                    # typically iota (eliminated). The pose-row
+                    # destination is unsorted, but with ~n_pose segments
+                    # one XLA segment_sum is cheap (44 ms at K=5M into
+                    # 1.8k rows, gather_micro.py).
                     Hsub_flat = _maybe_rows(problem, ck + ("sub",), Hpl,
                                             sub)
-                    lrow_c = problem.const(ck + ("lrow",),
-                                           lrow.astype(np.int32))
+                    # w lookup: in CSC order lrow is NON-DECREASING, so
+                    # the 5M-row lookup from the small (n_lm, dl) solve
+                    # table is a repeat-EXPANSION (host counts), not a
+                    # wide gather — the r3 wide-gather form moved
+                    # K x 256 B (~1.3 GB at Venice-Final) where the
+                    # expansion moves K x dl x 4 (~60 MB); same trick as
+                    # the W build above (schur.hpp:886-920 walks the same
+                    # streams with atomicAdd).
+                    bcache = problem._cache.setdefault("bschur_expand", {})
+                    if ck not in bcache:
+                        n_lm_rows = problem.seg_rows[lt]
+                        is_sorted = bool(
+                            lrow.size == 0 or np.all(np.diff(lrow) >= 0))
+                        counts = None
+                        if is_sorted:
+                            counts = np.bincount(
+                                lrow.astype(np.int64), minlength=n_lm_rows
+                            ).astype(np.int32)
+                        bcache[ck] = (is_sorted, counts)
+                    is_sorted, counts_np = bcache[ck]
 
-                    def y_body(chunk_arrays, dp=dp, dl=dl, wlt=wlt):
-                        # flat VPU block matvec: no tile-padded (K, dp,
-                        # dl) relayout (ops/blockfmt.py)
-                        hf, lr = chunk_arrays
-                        return flat_block_mv(
-                            hf, wlt[lr][:, :dl], dp, dl,
-                            acc_dtype=wlt.dtype).astype(gdt)
+                    if is_sorted and K * dl * 4 <= W_EXPAND_BYTES:
+                        w_exp = jnp.repeat(
+                            jax.lax.optimization_barrier(w[lt]),
+                            problem.const(ck + ("wcounts",), counts_np),
+                            axis=0, total_repeat_length=K)
 
-                    y = _mapped_rows(y_body, (Hsub_flat, lrow_c), K,
-                                     (dp * dl + dp + dl) * 4)
+                        def y_body(chunk_arrays, dp=dp, dl=dl):
+                            hf, we = chunk_arrays
+                            return flat_block_mv(
+                                hf, we, dp, dl,
+                                acc_dtype=we.dtype).astype(gdt)
+
+                        y = _mapped_rows(y_body, (Hsub_flat, w_exp), K,
+                                         (dp * dl + dp + dl) * 4)
+                    else:
+                        wlt = _wide_table(w[lt])
+                        lrow_c = problem.const(ck + ("lrow",),
+                                               lrow.astype(np.int32))
+
+                        def y_body(chunk_arrays, dp=dp, dl=dl, wlt=wlt):
+                            # flat VPU block matvec: no tile-padded
+                            # (K, dp, dl) relayout (ops/blockfmt.py)
+                            hf, lr = chunk_arrays
+                            return flat_block_mv(
+                                hf, wlt[lr][:, :dl], dp, dl,
+                                acc_dtype=wlt.dtype).astype(gdt)
+
+                        y = _mapped_rows(y_body, (Hsub_flat, lrow_c), K,
+                                         (dp * dl + dp + dl) * 4)
                     acc = _reduce_rows(problem, ck, y, prow[lsel],
                                        problem.seg_rows[pt], gdt)
                     prev = out_rows.get(pt)
@@ -1222,27 +1288,33 @@ class SchurOps:
                         )
 
                         site, S_f, S_t = prep
-                        xw_ct = _wide_table(problem.rows_view(x, ct))
+                        # x row streams in the same storage dtype as the
+                        # S copies (bandwidth); the kernel accumulates in
+                        # f32 and out_dtype=gdt avoids a lossy
+                        # f32->bf16->f32 round-trip of the RESULT
+                        xw_ct = _wide_table(
+                            problem.rows_view(x, ct).astype(S_f.dtype))
                         right_f = xw_ct[problem.const(
                             ck + ("scolf",), site["colidx_f"])]
                         yr = streaming_segment_product_sum(
-                            S_f, right_f.astype(S_f.dtype),
-                            site["plan_f"], dr_k, dc_k, 1,
+                            S_f, right_f,
+                            site["plan_f"], dr_k, dc_k, 1, out_dtype=gdt,
                             **_stream_consts(problem, ck + ("sf",),
                                              site["plan_f"]))
-                        add_rows(rt, yr.astype(gdt))
-                        xw_rt = _wide_table(problem.rows_view(x, rt))
+                        add_rows(rt, yr)
+                        xw_rt = _wide_table(
+                            problem.rows_view(x, rt).astype(S_t.dtype))
                         offm = problem.const(ck + ("soffm",),
                                               site["offm"])
                         right_t = (xw_rt[problem.const(
                             ck + ("srowt",), site["rowidx_t"])]
-                            * offm[:, None])
+                            * offm[:, None].astype(S_t.dtype))
                         yc = streaming_segment_product_sum(
-                            S_t, right_t.astype(S_t.dtype),
-                            site["plan_t"], dc_k, dr_k, 1,
+                            S_t, right_t,
+                            site["plan_t"], dc_k, dr_k, 1, out_dtype=gdt,
                             **_stream_consts(problem, ck + ("st",),
                                              site["plan_t"]))
-                        add_rows(ct, yc.astype(gdt))
+                        add_rows(ct, yc)
                         continue
 
                     x_ct = _wide_table(problem.rows_view(x, ct))
@@ -1367,13 +1439,17 @@ class SchurOps:
             t: problem.rows_view(b, t).astype(gdt)
             for t, _, _ in self._cached_partition("lm_diag", lm_ids)
         }
+        sdt = jnp.dtype(problem.precision.stream_dtype)
         for key in ss.hpl_keys:
             dp, dl = key
             Hpl = self.hpl(key)
             lm_abs = ss.hpl_lm[key] + problem.elimination_block
             for pt, psel, prow in self._cached_partition(
                     f"hpl_pose_{key}", ss.hpl_pose[key]):
-                xrows = _wide_table(problem.rows_view(dx_p, pt))
+                # x row stream in stream_dtype: the K-row gather from this
+                # small table is pure bandwidth (K x 256 B f32 at
+                # Venice-Final)
+                xrows = _wide_table(problem.rows_view(dx_p, pt).astype(sdt))
                 for lt, lsel, lrow in self._cached_partition(
                         f"hpl_lm_{key}_{pt}", lm_abs[psel]):
                     sub = psel[lsel]

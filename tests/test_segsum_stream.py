@@ -147,6 +147,42 @@ def test_fused_product_width_padded_rows():
                                rtol=1e-5, atol=1e-4)
 
 
+def test_fused_product_bf16_streams_f32_accumulate():
+    """bf16 gathered streams (round-4 bandwidth lever): the kernel loads
+    -> f32 and accumulates in f32, so with out_dtype=f32 the result must
+    equal the f32 reference computed from the bf16-ROUNDED operands
+    exactly (no further precision loss inside the kernel)."""
+    from graphite_tpu.ops.blockfmt import flat_block_mm_nt
+    from graphite_tpu.ops.pallas.segsum_stream import (
+        streaming_segment_product_sum,
+    )
+
+    m = n = 9
+    kk = 3
+    k, ns, chunk = 4_000, 360, 512
+    rng = np.random.default_rng(11)
+    seg = np.sort(rng.integers(0, ns, size=k)).astype(np.int32)
+    left16 = jnp.asarray(
+        rng.standard_normal((k, m * kk)), jnp.bfloat16)
+    right16 = jnp.asarray(
+        rng.standard_normal((k, n * kk)), jnp.bfloat16)
+    plan = plan_streaming_segsum(seg, ns, chunk=chunk)
+    assert plan["feasible"]
+    pad = plan["k_pad"] - k
+    gl = jnp.full((pad, m * kk), 100.0, jnp.bfloat16)
+    gr = jnp.full((pad, n * kk), 100.0, jnp.bfloat16)
+    out = streaming_segment_product_sum(
+        jnp.concatenate([left16, gl]), jnp.concatenate([right16, gr]),
+        plan, m, kk, n, out_dtype=jnp.float32)
+    assert out.dtype == jnp.float32
+    ref = jax.ops.segment_sum(
+        flat_block_mm_nt(left16.astype(jnp.float32),
+                         right16.astype(jnp.float32), m, kk, n),
+        jnp.asarray(seg), num_segments=ns)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
 def test_infeasible_plan_reports():
     seg = np.arange(100_000, dtype=np.int32)  # multiplicity 1
     plan = plan_streaming_segsum(seg, 100_000, chunk=2048, vmem_rows=64)
