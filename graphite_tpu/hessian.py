@@ -718,6 +718,10 @@ def dense_hessian_matrix(problem, hs: HessianStructure,
     Cholesky whose panels stream through VMEM — the hybrid-memory
     analog). Upper-tri block storage is mirrored on scatter."""
     n = problem.dim_h
+    if n > 46_340:  # flat offsets r*n+c must fit int32
+        raise ValueError(
+            f"dense Hessian densify needs dim_h <= 46340 (got {n}); use a "
+            "Schur-reduced or iterative solver at this scale")
     acc = problem.precision.inv_dtype
     cache = problem._cache
     if "dense_h_idx" not in cache:

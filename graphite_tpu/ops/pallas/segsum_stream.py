@@ -515,6 +515,146 @@ def streaming_segment_product_sum(left: jax.Array, right: jax.Array,
     ).astype(out_dtype or left.dtype)
 
 
+def _kernel_mv_tbl(starts_ref, nflush_ref, bases_ref, left_ref, xtab_ref,
+                   idx_ref, seg_ref, out_ref, acc_ref, sem, *, chunk,
+                   w_pad, f, a, n_chunks, m, kdim, d, d_pad, lw, xw,
+                   tx_pad, transpose):
+    from .segmv import _expand_mv, onehot_gather
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    nf = nflush_ref[i]
+    base0 = bases_ref[i]
+
+    def flush(kf, carry):
+        copy = pltpu.make_async_copy(
+            acc_ref.at[pl.ds(0, f), :],
+            out_ref.at[pl.ds(base0 + kf * f, f), :],
+            sem,
+        )
+        copy.start()
+        copy.wait()
+        acc_ref[pl.ds(0, a - f), :] = acc_ref[pl.ds(f, a - f), :]
+        acc_ref[pl.ds(a - f, f), :] = jnp.zeros((f, d_pad), acc_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, nf, flush, 0)
+
+    @pl.when(i < n_chunks)
+    def _():
+        base = base0 + nf * f
+        w0 = starts_ref[i]
+        sub = pl.ds(jax.lax.rem(i, jnp.int32(8)), 1)
+        seg_row = seg_ref[sub, :]  # (1, chunk)
+        idx_row = idx_ref[sub, :]
+        # in-kernel x gather: one-hot MXU product from the VMEM-resident
+        # x table — replaces the per-matvec XLA row gather (row-bound at
+        # ~11.4 ns/row, tools/r4_bf16_probe.py)
+        right = onehot_gather(idx_row, xtab_ref, tx_pad, chunk)
+        left = left_ref[:]
+        prod = _expand_mv(left, right.astype(left.dtype), m, kdim, lw, xw,
+                          transpose)
+        row = jax.lax.broadcasted_iota(jnp.int32, (w_pad, chunk), 0)
+        onehot_t = (seg_row - w0 == row).astype(jnp.float32)
+        partial = jax.lax.dot_general(
+            onehot_t, prod, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if d_pad != d:
+            partial = jnp.concatenate(
+                [partial, jnp.zeros((w_pad, d_pad - d), partial.dtype)],
+                axis=1)
+        slot = w0 - base
+        cur = acc_ref[pl.ds(slot, w_pad), :]
+        acc_ref[pl.ds(slot, w_pad), :] = cur + partial.astype(acc_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "w_pad", "f", "a", "n_chunks",
+                              "n_steps", "k_pad", "out_alloc",
+                              "num_segments", "m", "kdim", "lw", "xw",
+                              "tx_pad", "transpose"))
+def _run_mv_tbl(left_pad, xtab, idx_pad, seg_pad, starts, nflush, bases,
+                *, chunk, w_pad, f, a, n_chunks, n_steps, k_pad,
+                out_alloc, num_segments, m, kdim, lw, xw, tx_pad,
+                transpose):
+    d = kdim if transpose else m
+    d_pad = _round_up(d, 128)
+    last = n_chunks - 1
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_mv_tbl, chunk=chunk, w_pad=w_pad, f=f,
+                          a=a, n_chunks=n_chunks, m=m, kdim=kdim, d=d,
+                          d_pad=d_pad, lw=lw, xw=xw, tx_pad=tx_pad,
+                          transpose=transpose),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec((chunk, lw),
+                             lambda i, *s: (jnp.minimum(i, last), 0)),
+                pl.BlockSpec((tx_pad, xw), lambda i, *s: (0, 0)),
+                pl.BlockSpec((8, chunk),
+                             lambda i, *s: (jnp.minimum(i, last) // 8, 0)),
+                pl.BlockSpec((8, chunk),
+                             lambda i, *s: (jnp.minimum(i, last) // 8, 0)),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((a, d_pad), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((out_alloc, d_pad), jnp.float32),
+    )(starts, nflush, bases, left_pad, xtab, idx_pad, seg_pad)
+    return out[:num_segments, :d]
+
+
+def streaming_matvec_tbl(left: jax.Array, xtab: jax.Array, idx_pad,
+                         plan: dict, m: int, k: int,
+                         transpose: bool = False, seg_pad=None,
+                         starts=None, nflush=None, bases=None
+                         ) -> jax.Array:
+    """Destination-sorted streaming block matvec with IN-KERNEL x gather.
+
+    ``left`` (k_pad, >= m*k) destination-sorted flat blocks (lanes past
+    m*k may hold anything for the forward direction; the transposed
+    direction relies on the x TABLE's dead lanes being zero, not on
+    left's). ``xtab`` (tx_pad, xw) is the full x row table, VMEM-resident
+    in every grid step, with tx_pad a multiple of segmv.TB and all lanes
+    >= the live dim zeroed — pad-row gathers and masked rows are pointed
+    at a zero row. ``idx_pad``: (ceil8(n_chunks), chunk) packed int32 x
+    row ids (segmv.pack_chunk_ids). transpose=False computes
+    y[seg] += A x; transpose=True computes y[seg] += A^T x.
+
+    Replaces: the per-matvec XLA x-row gathers AND (for the transposed
+    direction) the per-solve lane-transposed S copy of the r3 design.
+    Reference: the S block matvec of schur.hpp:307-393.
+    """
+    k_pad = plan["k_pad"]
+    assert left.shape[0] == k_pad, "pass k_pad-padded left rows"
+    if seg_pad is None:
+        seg_pad = jnp.asarray(plan["seg_pad_2d"])
+    if starts is None:
+        starts = jnp.asarray(plan["starts"])
+    if nflush is None:
+        nflush = jnp.asarray(plan["nflush"])
+    if bases is None:
+        bases = jnp.asarray(plan["bases"])
+    return _run_mv_tbl(
+        left, xtab, idx_pad, seg_pad, starts, nflush, bases,
+        chunk=plan["chunk"], w_pad=plan["w_pad"], f=plan["f"], a=plan["a"],
+        n_chunks=plan["n_chunks"], n_steps=plan["n_steps"], k_pad=k_pad,
+        out_alloc=plan["out_alloc"], num_segments=plan["num_segments"],
+        m=m, kdim=k, lw=left.shape[1], xw=xtab.shape[1],
+        tx_pad=xtab.shape[0], transpose=transpose)
+
+
 def streaming_segment_sum(values: jax.Array, plan: dict, seg_pad=None,
                           starts=None, nflush=None, bases=None) -> jax.Array:
     """(K, D) destination-sorted values -> (num_segments, D), output

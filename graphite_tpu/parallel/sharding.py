@@ -123,13 +123,19 @@ def sharded_lm_step_fn(problem, mesh: Mesh, solver, damping: float,
 
 
 def sharded_lm(problem, mesh: Mesh, solver, options, params=None,
-               axis: str = FACTOR_AXIS):
+               axis: str = FACTOR_AXIS, with_trace: bool = False):
     """Full LM optimization (accept/reject while_loop) inside one
     shard_map — the multi-chip equivalent of
     ``levenberg_marquardt(..., jit_loop=True)``.
 
-    Returns (params, chi2, iterations, accepted_steps).
+    Returns (params, chi2, iterations, accepted_steps), plus the
+    per-iteration (chi2, mu, rho, accepted) device trace when
+    ``with_trace`` (observability parity with the single-chip jit_loop).
     """
+    import dataclasses
+
+    import jax.numpy as jnp
+
     from ..optimizers.lm import _initial_carry_traced, _lm_iteration
 
     params = params if params is not None else problem.params0
@@ -139,18 +145,23 @@ def sharded_lm(problem, mesh: Mesh, solver, options, params=None,
         p = problem.shard_replica(data, axis, n_devices=mesh.shape[axis])
         step = _lm_iteration(p, solver, options)
         carry = _initial_carry_traced(p, solver, params, options)
+        if with_trace:
+            carry = dataclasses.replace(
+                carry, trace=jnp.zeros((options.iterations, 4),
+                                       p.precision.graph_dtype))
 
         def cond(c):
             return (c.k < options.iterations) & c.run
 
         carry = jax.lax.while_loop(cond, step, carry)
-        return carry.params, carry.chi2, carry.k, carry.num_accepted
+        out = (carry.params, carry.chi2, carry.k, carry.num_accepted)
+        return out + ((carry.trace,) if with_trace else ())
 
     pspec = jax.tree.map(lambda _: P(), problem.params0)
     f = shard_map(
         local, mesh,
         in_specs=(data_specs(problem, axis), pspec),
-        out_specs=(pspec, P(), P(), P()),
+        out_specs=(pspec, P(), P(), P()) + ((P(),) if with_trace else ()),
     )
     out = jax.jit(f)(data, params)
     return out

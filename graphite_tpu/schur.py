@@ -953,6 +953,71 @@ def _smv_chunk_rows(row_bytes: int) -> int:
     return map_chunk_rows(row_bytes)
 
 
+def _plan_smv_tbl(problem, ck, sub, rrow_l, crow_l, off,
+                  nseg_r, nseg_c, dr, dc, dtype):
+    """Round-4 streaming-matvec site with IN-KERNEL x gathers, or None.
+
+    The r3 design (`_plan_smv_stream`) paid two XLA x-row gathers per
+    matvec plus a lane-transposed S copy per solve; the round-4 probe
+    showed row gathers cost ~11.4 ns/row regardless of width, so the x
+    lookups move inside the kernel as one-hot MXU products against the
+    VMEM-resident x row table (ops/pallas/segmv.onehot_gather):
+
+    - forward (y_r += S x_c): CSR-permuted left copy (one row gather per
+      SOLVE), x indexed by column row — packed idx, sorted row dst;
+    - transposed (y_c += S^T x_r): the NATURAL CSC order (column dst
+      already sorted) with the transposed expansion one-hots — no
+      lane-transposed copy at all; diagonal blocks are masked by
+      pointing their x index at the table's zero row.
+
+    Feasible only when the pose row tables are small enough for the
+    one-hot products to beat the row gather (segmv.TABLE_ROWS_LIMIT).
+    """
+    if (os.environ.get("GRAPHITE_TPU_NO_SMV_TBL")
+            or os.environ.get("GRAPHITE_TPU_NO_SMV_STREAM")):
+        return None
+    from .ops.pallas.segmv import (
+        TABLE_ROWS_LIMIT,
+        pack_chunk_ids,
+        tpad,
+    )
+
+    cache = problem._cache.setdefault("smv_tbl_sites", {})
+    if ck in cache:
+        return cache[ck]
+    site = None
+    K = sub.shape[0]
+    row_bytes = (dr * dc + dr + dc + 3) * 4
+    if (K > _smv_chunk_rows(row_bytes)
+            and tpad(nseg_r + 1) <= TABLE_ROWS_LIMIT
+            and tpad(nseg_c + 1) <= TABLE_ROWS_LIMIT):
+        perm = hostops.stable_argsort(
+            rrow_l.astype(np.int64), nseg_r + 1).astype(np.int64)
+        plan_f = _get_stream_plan(problem, ck + ("tf",),
+                                  rrow_l[perm].astype(np.int32),
+                                  nseg_r, dtype)
+        plan_t = _get_stream_plan(problem, ck + ("tt",),
+                                  crow_l.astype(np.int32), nseg_c, dtype)
+        if plan_f is not None and plan_t is not None:
+            kf, kt = plan_f["k_pad"], plan_t["k_pad"]
+            idx_f = np.concatenate(
+                [sub[perm].astype(np.int32),
+                 np.zeros(kf - K, np.int32)])
+            site = dict(
+                plan_f=plan_f, plan_t=plan_t, idx_f=idx_f,
+                # forward x index (column rows); pad rows -> zero row
+                cidx_f=pack_chunk_ids(crow_l[perm], kf,
+                                      plan_f["chunk"], fill=nseg_c),
+                # transposed x index (row rows); diagonal blocks and pad
+                # rows -> the zero row (replaces the r3 offm multiply)
+                ridx_t=pack_chunk_ids(
+                    np.where(off, rrow_l, nseg_r), kt,
+                    plan_t["chunk"], fill=nseg_r),
+            )
+    cache[ck] = site
+    return site
+
+
 def _plan_smv_stream(problem, ck, sub, rrow_l, crow_l, off,
                      nseg_r, nseg_c, dr, dc, dtype):
     """Freeze-time plan for the STREAMING S matvec site, or None.
@@ -1028,6 +1093,79 @@ def _plan_smv_stream(problem, ck, sub, rrow_l, crow_l, off,
     return site
 
 
+def _plan_backsub_tbl(problem, ck, K, lrow, prow, n_lt, n_pt, dr, dc,
+                      dtype):
+    """Backsub site for the in-kernel-gather streaming matvec, or None.
+
+    dx_l accumulation (schur.hpp:279-302): left = Hpl in natural CSC
+    order (landmark dst already sorted -> streaming reduce), transposed
+    product, x = dx_p rows gathered in-kernel (the r3 path paid a K-row
+    XLA gather per solve — 57 ms at Venice-Final)."""
+    if os.environ.get("GRAPHITE_TPU_NO_SMV_TBL"):
+        return None
+    from .ops.pallas.segmv import (
+        TABLE_ROWS_LIMIT,
+        pack_chunk_ids,
+        tpad,
+    )
+
+    cache = problem._cache.setdefault("backsub_tbl_sites", {})
+    if ck in cache:
+        return cache[ck]
+    site = None
+    row_bytes = (dr * dc + dr + dc) * 4
+    if (K > _smv_chunk_rows(row_bytes)
+            and tpad(n_pt + 1) <= TABLE_ROWS_LIMIT):
+        plan = _get_stream_plan(problem, ck + ("bs",),
+                                lrow.astype(np.int32), n_lt, dtype)
+        if plan is not None:
+            site = dict(
+                plan=plan,
+                pidx=pack_chunk_ids(prow, plan["k_pad"], plan["chunk"],
+                                    fill=n_pt),
+            )
+    cache[ck] = site
+    return site
+
+
+def _plan_bschur_fused(problem, ck, K, prow, n_pt, dp, dl, dtype):
+    """b_schur fused product+reduce site, or None.
+
+    b_S = b_p - Hpl (Hll^{-1} b_l) (schur.hpp:886-920) accumulates into
+    FEW pose rows in arbitrary order: the whole accumulator fits VMEM, so
+    one Pallas pass streams Hpl + the repeat-expanded w rows and reduces
+    by transposed one-hot matmuls (ops/pallas/segmv.block_matvec_stream)
+    — replacing the r3 lax.map block-matvec + XLA segment_sum pair
+    (132.5 ms/iter at Venice-Final, BENCH_r03 stages) with one kernel
+    that writes no K-row intermediate."""
+    if os.environ.get("GRAPHITE_TPU_NO_SMV_TBL"):
+        return None
+    if not _use_pallas(problem, dtype):
+        return None
+    from .ops.pallas.segmv import (
+        TABLE_ROWS_LIMIT,
+        pack_chunk_ids,
+        plan_block_matvec,
+        tpad,
+    )
+
+    cache = problem._cache.setdefault("bschur_fused_sites", {})
+    if ck in cache:
+        return cache[ck]
+    site = None
+    row_bytes = (dp * dl + dp + dl) * 4
+    if (K > _smv_chunk_rows(row_bytes)
+            and tpad(n_pt + 1) <= TABLE_ROWS_LIMIT):
+        plan = plan_block_matvec(K)
+        site = dict(
+            plan=plan,
+            dst=pack_chunk_ids(prow, plan["k_pad"], plan["chunk"],
+                               fill=n_pt),
+        )
+    cache[ck] = site
+    return site
+
+
 class SchurOps:
     """Bundles static structure with one set of (damped) H values.
 
@@ -1062,14 +1200,17 @@ class SchurOps:
         problem = self.problem
         ss = self.ss
         prep = {}
+        sdt = jnp.dtype(problem.precision.stream_dtype)
         for key in ss.s_keys:
             dr_k, dc_k = key
             S = self.sv.s_vals[key]
             if not _use_pallas(problem, S.dtype):
                 continue
             rows_b, cols_b = ss.s_rows[key], ss.s_cols[key]
-            # discover the streaming sites first (host-side planning only)
+            # discover the streaming sites first (host-side planning
+            # only); prefer the round-4 in-kernel-gather sites
             sites = []
+            tbl_sites = []
             for rt, rsel, rrow in self._cached_partition(
                     f"s_rows_{key}", rows_b):
                 for ct, csel, crow in self._cached_partition(
@@ -1077,12 +1218,34 @@ class SchurOps:
                     sub = rsel[csel]
                     ck = ("smv", key, rt, ct)
                     off = rows_b[sub] != cols_b[sub]
-                    site = _plan_smv_stream(
-                        problem, ck, sub, rrow[csel], crow, off,
-                        problem.seg_rows[rt], problem.seg_rows[ct],
-                        dr_k, dc_k, S.dtype)
+                    args = (problem, ck, sub, rrow[csel], crow, off,
+                            problem.seg_rows[rt], problem.seg_rows[ct],
+                            dr_k, dc_k, S.dtype)
+                    site = _plan_smv_tbl(*args)
+                    if site is not None:
+                        tbl_sites.append((ck, site, sub))
+                        continue
+                    site = _plan_smv_stream(*args)
                     if site is not None:
                         sites.append((ck, site))
+            if tbl_sites:
+                # per-solve copies in stream_dtype: the CSR-permuted
+                # forward stream (one row gather per SOLVE, amortized
+                # over the PCG iterations) and the zero-padded natural-
+                # order stream for the transposed direction (no lane
+                # transpose — the kernel's expansion one-hots transpose)
+                S_sdt = S.astype(sdt)
+                for ck, site, sub in tbl_sites:
+                    kt = site["plan_t"]["k_pad"]
+                    S_sub = _maybe_rows(problem, ck + ("tsub",), S_sdt,
+                                        sub)
+                    # idx_f = sub[perm] (k_pad-padded) indexes S directly
+                    S_f = S_sdt[problem.const(ck + ("tfidx",),
+                                              site["idx_f"])]
+                    S_nat = jnp.zeros((kt, S_sdt.shape[1]), sdt)
+                    S_nat = jax.lax.dynamic_update_slice(
+                        S_nat, S_sub, (0, 0))
+                    prep[ck] = ("tbl", site, S_f, S_nat)
             if not sites:
                 continue
             # S_t_full (the lane-transposed full table) and the wide view
@@ -1119,7 +1282,7 @@ class SchurOps:
             Sw = _wide_table(S.astype(sdt))
             for ck, site in sites:
                 S_f = Sw[problem.const(ck + ("sfidx",), site["idx_f"])]
-                prep[ck] = (site, S_f, s_ts[ck])
+                prep[ck] = ("wide", site, S_f, s_ts[ck])
         self._smv_prep = prep
 
     def hpl(self, key):
@@ -1210,11 +1373,43 @@ class SchurOps:
                         bcache[ck] = (is_sorted, counts)
                     is_sorted, counts_np = bcache[ck]
 
+                    fused = None
                     if is_sorted and K * dl * 4 <= W_EXPAND_BYTES:
                         w_exp = jnp.repeat(
                             jax.lax.optimization_barrier(w[lt]),
                             problem.const(ck + ("wcounts",), counts_np),
                             axis=0, total_repeat_length=K)
+                        fused = _plan_bschur_fused(
+                            problem, ck, K, prow[lsel],
+                            problem.seg_rows[pt], dp, dl, Hpl.dtype)
+
+                    if fused is not None:
+                        # ONE Pallas pass: Hpl stream x expanded-w stream
+                        # block products reduced straight into the
+                        # VMEM-resident pose accumulator (unsorted dst,
+                        # no K-row product intermediate, no scatter)
+                        from .ops.pallas.segmv import block_matvec_stream
+
+                        sdt = jnp.dtype(problem.precision.stream_dtype)
+                        plan = fused["plan"]
+                        k_pad = plan["k_pad"]
+                        Hpad = jnp.zeros((k_pad, dp * dl), sdt)
+                        Hpad = jax.lax.dynamic_update_slice(
+                            Hpad, Hsub_flat.astype(sdt), (0, 0))
+                        wpad = jnp.zeros((k_pad, dl), sdt)
+                        wpad = jax.lax.dynamic_update_slice(
+                            wpad, w_exp.astype(sdt), (0, 0))
+                        acc = block_matvec_stream(
+                            Hpad, wpad, plan,
+                            problem.const(ck + ("fdst",), fused["dst"]),
+                            dp, dl, problem.seg_rows[pt],
+                            bf16_reduce=(sdt == jnp.bfloat16),
+                        ).astype(gdt)
+                        prev = out_rows.get(pt)
+                        out_rows[pt] = acc if prev is None else prev + acc
+                        continue
+
+                    if is_sorted and K * dl * 4 <= W_EXPAND_BYTES:
 
                         def y_body(chunk_arrays, dp=dp, dl=dl):
                             hf, we = chunk_arrays
@@ -1278,16 +1473,60 @@ class SchurOps:
                     rrow_l = rrow[csel]
 
                     prep = self._smv_prep.get(ck)
+                    if prep is not None and prep[0] == "tbl":
+                        # Round-4 streaming matvec: S read exactly twice
+                        # per matvec (forward CSR-permuted copy + natural
+                        # order), x gathered IN-KERNEL from the tiny row
+                        # tables, transposed direction via expansion
+                        # one-hots (no lane-transposed copy), diagonal
+                        # masking via the zero x row.
+                        from .ops.pallas.segmv import tpad as _tpad
+                        from .ops.pallas.segsum_stream import (
+                            streaming_matvec_tbl,
+                        )
+
+                        _, site, S_f, S_nat = prep
+                        sdt_k = S_f.dtype
+                        xw = max(dr_k, dc_k)
+                        nc = problem.seg_rows[ct]
+                        nr = problem.seg_rows[rt]
+                        xc = jnp.zeros((_tpad(nc + 1), xw), sdt_k)
+                        xc = jax.lax.dynamic_update_slice(
+                            xc, problem.rows_view(x, ct).astype(sdt_k),
+                            (0, 0))
+                        yr = streaming_matvec_tbl(
+                            S_f, xc,
+                            problem.const(ck + ("cidxf",),
+                                          site["cidx_f"]),
+                            site["plan_f"], dr_k, dc_k, transpose=False,
+                            **_stream_consts(problem, ck + ("tf",),
+                                             site["plan_f"]))
+                        add_rows(rt, yr.astype(gdt))
+                        xr = jnp.zeros((_tpad(nr + 1), xw), sdt_k)
+                        xr = jax.lax.dynamic_update_slice(
+                            xr, problem.rows_view(x, rt).astype(sdt_k),
+                            (0, 0))
+                        yc = streaming_matvec_tbl(
+                            S_nat, xr,
+                            problem.const(ck + ("ridxt",),
+                                          site["ridx_t"]),
+                            site["plan_t"], dr_k, dc_k, transpose=True,
+                            **_stream_consts(problem, ck + ("tt",),
+                                             site["plan_t"]))
+                        add_rows(ct, yc.astype(gdt))
+                        continue
                     if prep is not None:
-                        # STREAMING matvec (prepare_matvec was called):
-                        # both directions are destination-sorted fused
-                        # product+reduce kernel passes — no scatter-add
-                        # segment_sums, S read exactly twice per matvec
+                        # r3 STREAMING matvec (wide pre-gathered x rows;
+                        # fallback when the pose row tables exceed the
+                        # in-kernel gather limit): both directions are
+                        # destination-sorted fused product+reduce kernel
+                        # passes — no scatter-add segment_sums, S read
+                        # exactly twice per matvec
                         from .ops.pallas.segsum_stream import (
                             streaming_segment_product_sum,
                         )
 
-                        site, S_f, S_t = prep
+                        _, site, S_f, S_t = prep
                         # x row streams in the same storage dtype as the
                         # S copies (bandwidth); the kernel accumulates in
                         # f32 and out_dtype=gdt avoids a lossy
@@ -1446,10 +1685,15 @@ class SchurOps:
             lm_abs = ss.hpl_lm[key] + problem.elimination_block
             for pt, psel, prow in self._cached_partition(
                     f"hpl_pose_{key}", ss.hpl_pose[key]):
-                # x row stream in stream_dtype: the K-row gather from this
-                # small table is pure bandwidth (K x 256 B f32 at
-                # Venice-Final)
-                xrows = _wide_table(problem.rows_view(dx_p, pt).astype(sdt))
+                xrows_cache = {}
+
+                def xrows_wide(pt=pt):
+                    # fallback x row stream (wide-gathered per call)
+                    if "w" not in xrows_cache:
+                        xrows_cache["w"] = _wide_table(
+                            problem.rows_view(dx_p, pt).astype(sdt))
+                    return xrows_cache["w"]
+
                 for lt, lsel, lrow in self._cached_partition(
                         f"hpl_lm_{key}_{pt}", lm_abs[psel]):
                     sub = psel[lsel]
@@ -1457,20 +1701,51 @@ class SchurOps:
                     K = sub.shape[0]
                     # Hpl is CSC (lm, pose)-sorted: lrow is already
                     # destination-sorted (streaming kernel applies) and
-                    # `sub` is typically iota (gather eliminated). The x
-                    # gather composes prow∘lsel statically — ONE narrow
-                    # gather from the small per-type row table.
+                    # `sub` is typically iota (gather eliminated).
                     Hsub_flat = _maybe_rows(problem, ck + ("sub",), Hpl,
                                             sub)
+                    site = _plan_backsub_tbl(
+                        problem, ck, K, lrow, prow[lsel],
+                        problem.seg_rows[lt], problem.seg_rows[pt],
+                        dp, dl, problem.precision.inv_dtype)
+                    if site is not None:
+                        # fused kernel: sequential Hpl stream, in-kernel
+                        # one-hot x gather, transposed product, sorted
+                        # landmark-dst streaming reduce
+                        from .ops.pallas.segmv import tpad as _tpad
+                        from .ops.pallas.segsum_stream import (
+                            streaming_matvec_tbl,
+                        )
+
+                        plan = site["plan"]
+                        Hpad = jnp.zeros((plan["k_pad"], dp * dl), sdt)
+                        Hpad = jax.lax.dynamic_update_slice(
+                            Hpad, Hsub_flat.astype(sdt), (0, 0))
+                        n_pt = problem.seg_rows[pt]
+                        xw = max(dp, dl)
+                        xtab = jnp.zeros((_tpad(n_pt + 1), xw), sdt)
+                        xtab = jax.lax.dynamic_update_slice(
+                            xtab,
+                            problem.rows_view(dx_p, pt).astype(sdt),
+                            (0, 0))
+                        y = streaming_matvec_tbl(
+                            Hpad, xtab,
+                            problem.const(ck + ("pidx",), site["pidx"]),
+                            plan, dp, dl, transpose=True,
+                            **_stream_consts(problem, ck + ("bs",),
+                                             plan))
+                        t_rows[lt] = t_rows[lt] - y.astype(gdt)
+                        continue
                     pr_c = problem.const(
                         ck + ("pr",), prow[lsel].astype(np.int32))
 
-                    def y_body(chunk_arrays, dp=dp, dl=dl, xrows=xrows):
+                    def y_body(chunk_arrays, dp=dp, dl=dl):
                         # flat VPU transposed block matvec (no 3-D
                         # relayout, ops/blockfmt.py)
                         hf, pr = chunk_arrays
                         return flat_block_mv_t(
-                            hf, xrows[pr][:, :dp], dp, dl, acc_dtype=gdt)
+                            hf, xrows_wide()[pr][:, :dp], dp, dl,
+                            acc_dtype=gdt)
 
                     y = _mapped_rows(y_body, (Hsub_flat, pr_c), K,
                                      (dp * dl + dp + dl) * 4)

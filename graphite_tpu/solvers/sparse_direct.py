@@ -63,9 +63,13 @@ def _host_sparse_solve(indptr, indices, dim):
 
 @dataclasses.dataclass(frozen=True)
 class SparseDirectSolver:
-    # above this dim_h the dense on-device factorization is skipped
-    # (dim_h^2 storage); 8192 -> 256 MB f32
-    on_device_limit: int = 8192
+    # Above this dim_h the dense on-device factorization is skipped
+    # (dim_h^2 storage). 24576 covers BAL Ladybug-49's full system
+    # (dim_h = 23,769 -> 2.26 GB f32 dense + the factor; measured to fit
+    # one 16 GB v5e chip, ~100x scoped VMEM — the hybrid-memory analog,
+    # cudss.hpp:112-127). The dense-index builder uses int32 flat
+    # offsets, so the hard ceiling is dim_h <= 46,340.
+    on_device_limit: int = 24576
     # None: on-device on TPU (host callbacks unavailable there), host
     # callback on CPU. True/False forces.
     on_device: object = None

@@ -72,3 +72,23 @@ def test_direct_schur_on_device_matches_host_callback():
     res_host = _optimize(SparseDirectSchurSolver(on_device_dim_p=0))
     np.testing.assert_allclose(res_dev.chi2, res_host.chi2, rtol=1e-8)
     assert res_dev.iterations == res_host.iterations
+
+
+def test_direct_full_on_device_matches_host_callback():
+    """Full-H on-device direct (densify + blocked Cholesky, the cudss
+    full-matrix analog, cudss.hpp:53-269) vs the host sparse-LU callback
+    — at a size that takes the BLOCKED factorization path (dim_h >= 1024),
+    the same path the raised on_device_limit uses at Ladybug scale."""
+    from graphite_tpu.solvers.sparse_direct import SparseDirectSolver
+
+    ds = synthetic.make_bal((4, 400, 1400), seed=3, noise=0.5)
+    g, *_ = bal_io.build_graph(ds, precision=gt.FP64_FP64)
+    problem = g.freeze()
+    assert problem.dim_h >= 1024
+    opts = LevenbergMarquardtOptions(iterations=8, initial_damping=1e-4)
+    res_dev = levenberg_marquardt(
+        problem, SparseDirectSolver(on_device=True), options=opts)
+    res_host = levenberg_marquardt(
+        problem, SparseDirectSolver(on_device=False), options=opts)
+    np.testing.assert_allclose(res_dev.chi2, res_host.chi2, rtol=1e-8)
+    assert res_dev.iterations == res_host.iterations

@@ -32,10 +32,13 @@ from graphite_tpu.schur import SchurOps, build_schur_structure, schur_values
 
 @pytest.fixture
 def _force_stream(monkeypatch):
+    import graphite_tpu.ops.pallas.segmv as segmv_mod
+
     interp = functools.partial(jax.experimental.pallas.pallas_call,
                                interpret=True)
     monkeypatch.setattr(ss_mod.pl, "pallas_call", interp)
     monkeypatch.setattr(sg_mod.pl, "pallas_call", interp)
+    monkeypatch.setattr(segmv_mod.pl, "pallas_call", interp)
     # small plan windows so the toy problem actually streams/flushes
     orig = sr_mod.get_stream_plan
 
@@ -125,15 +128,22 @@ def test_streamed_parts_product_matches_simple(_force_stream, monkeypatch,
             rtol=1e-4, atol=1e-4)
 
 
-def test_s_matvec_streaming_matches_fallback(_force_stream, monkeypatch):
-    """prepare_matvec + the streaming S matvec (CSR-permuted forward
-    stream + lane-transposed CSC stream, ops/pallas/segsum_stream.py)
-    ≡ the portable folded/stepwise path."""
+@pytest.mark.parametrize("variant", ["tbl", "wide"])
+def test_s_matvec_streaming_matches_fallback(_force_stream, monkeypatch,
+                                             variant):
+    """prepare_matvec + the streaming S matvec ≡ the portable
+    folded/stepwise path. Two prepared variants: the round-4 in-kernel
+    x-gather sites ("tbl", ops/pallas/segmv.py) and the r3 wide
+    pre-gathered-x sites ("wide", forced via GRAPHITE_TPU_NO_SMV_TBL)."""
+    if variant == "wide":
+        monkeypatch.setenv("GRAPHITE_TPU_NO_SMV_TBL", "1")
     monkeypatch.setattr(schur_mod, "_smv_chunk_rows", lambda rb: 4)
     problem, lin, hs, ss, hv, sv = _setup()
     ops = SchurOps(problem, ss, hv, sv)
     ops.prepare_matvec()
     assert ops._smv_prep, "no streaming matvec site engaged"
+    kinds = {p[0] for p in ops._smv_prep.values()}
+    assert kinds == {variant}
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.normal(size=ss.dim_p).astype(np.float32))
     y = np.asarray(ops.s_matvec(x))
@@ -165,7 +175,8 @@ def test_pcg_schur_solve_with_streaming_matvec(_force_stream, monkeypatch):
     problem, lin, hs, ss, hv, sv = _setup()
     st = solver.prepare(problem, lin)
     dx, ok = solver.solve(problem, lin, st, damping, False)
-    sites = problem._cache.get("smv_stream_sites", {})
+    sites = {**problem._cache.get("smv_stream_sites", {}),
+             **problem._cache.get("smv_tbl_sites", {})}
     assert any(v is not None for v in sites.values()), (
         "streaming matvec did not engage in the solve")
 
@@ -175,6 +186,28 @@ def test_pcg_schur_solve_with_streaming_matvec(_force_stream, monkeypatch):
     dx2, ok2 = solver.solve(problem2, lin2, st2, damping, False)
     np.testing.assert_allclose(np.asarray(dx), np.asarray(dx2),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_b_schur_fused_matches_fallback(_force_stream, monkeypatch):
+    """The fused b_schur pass (Hpl stream x expanded-w stream ->
+    few-segment VMEM one-hot reduce, ops/pallas/segmv.block_matvec_stream)
+    ≡ the lax.map + segment_sum fallback (schur.hpp:886-920)."""
+    monkeypatch.setattr(schur_mod, "_smv_chunk_rows", lambda rb: 4)
+    problem, lin, hs, ss, hv, sv = _setup()
+    ops = SchurOps(problem, ss, hv, sv)
+    b_s = np.asarray(ops.b_schur(lin.b))
+    sites = problem._cache.get("bschur_fused_sites", {})
+    assert any(v is not None for v in sites.values()), (
+        "fused b_schur site did not engage")
+
+    monkeypatch.setenv("GRAPHITE_TPU_NO_SMV_TBL", "1")
+    problem2, lin2, hs2, ss2, hv2, sv2 = _setup()
+    ops2 = SchurOps(problem2, ss2, hv2, sv2)
+    b_s2 = np.asarray(ops2.b_schur(lin2.b))
+    assert not any(
+        v is not None
+        for v in problem2._cache.get("bschur_fused_sites", {}).values())
+    np.testing.assert_allclose(b_s, b_s2, rtol=1e-5, atol=1e-4)
 
 
 def test_s_matvec_folded_matches_stepwise(monkeypatch):
