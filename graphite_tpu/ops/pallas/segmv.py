@@ -14,10 +14,10 @@ matvec paths:
   no sort, no flush schedule, no scatter.
 
 Precision: one-hot matrices are 0/1 (exact in bf16). Value-carrying dots
-against f32 data run at HIGH (bf16x3): with one operand exactly
-representable in bf16 the 3-pass product reconstructs the f32 operand to
-~2^-24 — effectively exact copies/sums. bf16 streams are single-pass
-exact for their own precision. Sum-carrying dots (the G contraction and
+against f32 data run at HIGHEST (Mosaic lowers only DEFAULT/HIGHEST in
+kernels): the multi-pass product reconstructs the f32 operand to ~2^-24
+— effectively exact copies/sums. bf16 streams are single-pass exact for
+their own precision. Sum-carrying dots (the G contraction and
 destination reduces) always run HIGHEST.
 
 Reference parity: the batched block matvec + atomicAdd kernels
@@ -66,9 +66,12 @@ def pack_chunk_ids(ids: np.ndarray, k_pad: int, chunk: int,
 
 
 def _gather_prec(dtype):
+    # Mosaic supports only DEFAULT / HIGHEST inside kernels (HIGH fails
+    # to lower). bf16 one-hot copies are exact single-pass; f32 needs
+    # HIGHEST so the one-hot dot reconstructs the f32 operand (~2^-24).
     return (jax.lax.Precision.DEFAULT
             if jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16)
-            else jax.lax.Precision.HIGH)
+            else jax.lax.Precision.HIGHEST)
 
 
 def onehot_gather(idx_row, xtab_ref, t_pad: int, chunk: int,

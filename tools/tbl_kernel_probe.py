@@ -1,0 +1,150 @@
+"""On-chip smoke + timing for the round-4 in-kernel-gather kernels.
+
+Validates (real Mosaic lowering, not interpret mode):
+- segsum_stream.streaming_matvec_tbl forward + transposed vs XLA reference
+- segmv.block_matvec_stream (b_schur shape) vs XLA reference
+then times them at Venice-Final-like shapes with the fori-loop method.
+
+    python tools/tbl_kernel_probe.py [K]
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphite_tpu.ops.blockfmt import flat_block_mv, flat_block_mv_t
+from graphite_tpu.ops.pallas.segmv import (
+    block_matvec_stream,
+    pack_chunk_ids,
+    plan_block_matvec,
+    tpad,
+)
+from graphite_tpu.ops.pallas.segsum_stream import (
+    plan_streaming_segsum,
+    streaming_matvec_tbl,
+)
+
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 1_140_000
+NS = 1778          # Venice-Final pose rows
+M = KK = 9
+REPS = 50
+
+
+def loop_time(fn, *args, perturb: int = 0):
+    """fori-loop timing with carry dependence (CLAUDE.md method).
+
+    Every array in ``args`` is a jit argument (NOT a closed-over constant —
+    a 370 MB inlined literal blows the remote-compile tunnel's payload
+    limit, HTTP 413).  ``perturb`` picks which argument carries the
+    iteration dependence; point it at a SMALL float array so the per-rep
+    perturbation copy doesn't rival the kernel's own bandwidth.
+    """
+
+    def run(*a):
+        def body(i, acc):
+            pa = list(a)
+            pa[perturb] = pa[perturb] + (acc * 1e-30).astype(pa[perturb].dtype)
+            out = fn(*pa)
+            return acc + out[0, 0].astype(jnp.float32) * 1e-30
+
+        return jax.lax.fori_loop(
+            0, REPS, body,
+            jnp.float32(0) * a[perturb][0, 0].astype(jnp.float32))
+
+    f = jax.jit(run)
+    jax.block_until_ready(f(*args))
+    best = float("inf")
+    for _ in range(3):
+        t = time.perf_counter()
+        jax.block_until_ready(f(*args))
+        best = min(best, time.perf_counter() - t)
+    return (best - 0.028) / REPS * 1e3  # subtract ~28ms program floor
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    rng = np.random.default_rng(0)
+    seg = np.sort(rng.integers(0, NS, size=K)).astype(np.int32)
+    idx = rng.integers(0, NS, size=K).astype(np.int32)
+
+    for sdt in (jnp.float32, jnp.bfloat16):
+        plan = plan_streaming_segsum(seg, NS, chunk=1024)
+        assert plan["feasible"]
+        k_pad = plan["k_pad"]
+        left = jnp.asarray(
+            rng.standard_normal((K, M * KK)).astype(np.float32))
+        left_pad = jnp.zeros((k_pad, M * KK), sdt)
+        left_pad = jax.lax.dynamic_update_slice(
+            left_pad, left.astype(sdt), (0, 0))
+        x = jnp.asarray(rng.standard_normal((NS, KK)).astype(np.float32))
+        xtab = jnp.zeros((tpad(NS + 1), 16), sdt)
+        xtab = jax.lax.dynamic_update_slice(xtab, x.astype(sdt), (0, 0))
+        idx_pack = jnp.asarray(pack_chunk_ids(idx, k_pad, 1024, fill=NS))
+        # K-sized plan arrays must be jit ARGS, not inlined constants
+        # (remote-compile payload limit)
+        pargs = tuple(jnp.asarray(plan[kk])
+                      for kk in ("seg_pad_2d", "starts", "nflush", "bases"))
+
+        for transpose in (False, True):
+            out = jax.jit(
+                lambda lp, xt, ip, sp, st, nf, bs: streaming_matvec_tbl(
+                    lp, xt, ip, plan, M, KK, transpose=transpose,
+                    seg_pad=sp, starts=st, nflush=nf, bases=bs)
+            )(left_pad, xtab, idx_pack, *pargs)
+            lf = left.astype(sdt).astype(jnp.float32)
+            xg = x.astype(sdt).astype(jnp.float32)[jnp.asarray(idx)]
+            y = (flat_block_mv_t if transpose else flat_block_mv)(
+                lf, xg, M, KK, acc_dtype=jnp.float32)
+            ref = jax.ops.segment_sum(y, jnp.asarray(seg), num_segments=NS)
+            err = float(jnp.max(jnp.abs(out - ref))
+                        / (1e-6 + jnp.max(jnp.abs(ref))))
+            ms = loop_time(
+                lambda xt, lp, ip, sp, st, nf, bs: streaming_matvec_tbl(
+                    lp, xt, ip, plan, M, KK, transpose=transpose,
+                    seg_pad=sp, starts=st, nflush=nf, bases=bs),
+                xtab, left_pad, idx_pack, *pargs)
+            print(f"matvec_tbl {np.dtype(sdt).name:8s} T={transpose!s:5s} "
+                  f"K={K} relerr={err:.2e}  {ms:7.2f} ms "
+                  f"({K * (M * KK) * np.dtype(sdt).itemsize / ms / 1e6:.0f}"
+                  f" GB/s stream)", flush=True)
+            assert err < (2e-2 if sdt == jnp.bfloat16 else 1e-5), err
+
+        # b_schur shape: dp=9, dl=3, unsorted dst into NS pose rows
+        dp, dl = 9, 3
+        bplan = plan_block_matvec(K)
+        dst = rng.integers(0, NS, size=K).astype(np.int32)  # UNSORTED
+        hb = jnp.asarray(
+            rng.standard_normal((K, dp * dl)).astype(np.float32))
+        hpad = jnp.zeros((bplan["k_pad"], dp * dl), sdt)
+        hpad = jax.lax.dynamic_update_slice(hpad, hb.astype(sdt), (0, 0))
+        w = jnp.asarray(rng.standard_normal((K, dl)).astype(np.float32))
+        wpad = jnp.zeros((bplan["k_pad"], dl), sdt)
+        wpad = jax.lax.dynamic_update_slice(wpad, w.astype(sdt), (0, 0))
+        dst_pack = jnp.asarray(
+            pack_chunk_ids(dst, bplan["k_pad"], bplan["chunk"], fill=NS))
+        bf16r = sdt == jnp.bfloat16
+        out = jax.jit(
+            lambda hp, wp, dpk: block_matvec_stream(
+                hp, wp, bplan, dpk, dp, dl, NS, bf16_reduce=bf16r)
+        )(hpad, wpad, dst_pack)
+        y = flat_block_mv(hb.astype(sdt).astype(jnp.float32),
+                          w.astype(sdt).astype(jnp.float32), dp, dl,
+                          acc_dtype=jnp.float32)
+        ref = jax.ops.segment_sum(y, jnp.asarray(dst), num_segments=NS)
+        err = float(jnp.max(jnp.abs(out - ref))
+                    / (1e-6 + jnp.max(jnp.abs(ref))))
+        ms = loop_time(
+            lambda wp, hp, dpk: block_matvec_stream(
+                hp, wp, bplan, dpk, dp, dl, NS, bf16_reduce=bf16r),
+            wpad, hpad, dst_pack)
+        print(f"bschur_fused {np.dtype(sdt).name:8s}            "
+              f"K={K} relerr={err:.2e}  {ms:7.2f} ms", flush=True)
+        assert err < (3e-2 if bf16r else 1e-4), err
+    print("PASS", flush=True)
+
+
+if __name__ == "__main__":
+    main()
