@@ -27,6 +27,7 @@ Reference parity: the batched block matvec + atomicAdd kernels
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -65,13 +66,60 @@ def pack_chunk_ids(ids: np.ndarray, k_pad: int, chunk: int,
     return rows
 
 
-def _gather_prec(dtype):
-    # Mosaic supports only DEFAULT / HIGHEST inside kernels (HIGH fails
-    # to lower). bf16 one-hot copies are exact single-pass; f32 needs
-    # HIGHEST so the one-hot dot reconstructs the f32 operand (~2^-24).
-    return (jax.lax.Precision.DEFAULT
-            if jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16)
-            else jax.lax.Precision.HIGHEST)
+# kill switch: fall back to Mosaic's HIGHEST f32 emulation for every
+# value-carrying kernel dot (r4 default: 3-way bf16 split, half the passes)
+_NO_SPLIT = bool(os.environ.get("GRAPHITE_TPU_NO_SPLIT_DOT"))
+
+
+def f32_split3(x: jax.Array):
+    """f32 -> 3 bf16 terms with h+m+l == x to ~2^-26 relative.
+
+    bf16 shares f32's exponent range, so the residual subtractions are
+    exact and each term captures the next ~8 mantissa bits; no
+    overflow/underflow cliffs."""
+    h = x.astype(jnp.bfloat16)
+    r = x - h.astype(jnp.float32)
+    m = r.astype(jnp.bfloat16)
+    l = (r - m.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (h, m, l)
+
+
+def value_parts(val: jax.Array):
+    """Split an f32 value operand ONCE for reuse across several exact
+    dots; bf16 operands (and the kill switch) pass through unsplit."""
+    if _NO_SPLIT or val.dtype == jnp.bfloat16:
+        return (val,)
+    return f32_split3(val)
+
+
+def parts_dot(parts, onehot, dn, onehot_left: bool = True):
+    """dot_general where ``onehot`` is EXACTLY bf16-representable (0/1
+    one-hot / mask matrices) and ``parts`` is value_parts(val).
+
+    Every kernel dot in this module has one 0/1 operand, so instead of
+    Mosaic's HIGHEST f32 emulation (6 bf16 passes: 3-way split of BOTH
+    operands) we split only the value side: 3 single-pass bf16 dots,
+    f32 accumulate — same ~2^-24 quality at half the MXU passes. bf16
+    values take ONE pass. Always returns f32."""
+    if len(parts) == 1 and parts[0].dtype != jnp.bfloat16:
+        prec = jax.lax.Precision.HIGHEST  # kill-switch fallback
+        oh = onehot.astype(parts[0].dtype)
+    else:
+        prec = jax.lax.Precision.DEFAULT
+        oh = onehot.astype(jnp.bfloat16)
+    out = None
+    for p in parts:
+        a, b = (oh, p) if onehot_left else (p, oh)
+        t = jax.lax.dot_general(a, b, dn,
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+        out = t if out is None else out + t
+    return out
+
+
+def exact_dot(onehot, val, dn, onehot_left: bool = True):
+    """One-shot parts_dot for a value used in a single dot."""
+    return parts_dot(value_parts(val), onehot, dn, onehot_left)
 
 
 def onehot_gather(idx_row, xtab_ref, t_pad: int, chunk: int,
@@ -79,15 +127,13 @@ def onehot_gather(idx_row, xtab_ref, t_pad: int, chunk: int,
     """right (chunk, xw) f32 = x_table[idx] via T-blocked one-hot MXU
     products. ``idx_row`` is a (1, chunk) int32 lane vector; ``xtab_ref``
     a (t_pad, xw) VMEM block (lanes beyond the live dim MUST be zero)."""
-    prec = _gather_prec(xtab_ref.dtype)
     out = None
     for t0 in range(0, t_pad, tb):
         rows = jax.lax.broadcasted_iota(jnp.int32, (tb, chunk), 0) + t0
         xt = xtab_ref[pl.ds(t0, tb), :]
-        oh = (rows == idx_row).astype(xt.dtype)
-        part = jax.lax.dot_general(
-            oh, xt, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
+        oh = (rows == idx_row).astype(jnp.float32)
+        part = exact_dot(oh, xt, (((0,), (0,)), ((), ())),
+                         onehot_left=True)
         out = part if out is None else out + part
     return out
 
@@ -101,18 +147,16 @@ def _expand_mv(left, right, m: int, k: int, lw: int, xw: int,
     Dead lanes: forward excluded by G (j//k >= m never matches an output
     column); transpose excluded because right lanes >= m are zero (the x
     tables / wide rows are zero-padded)."""
-    prec = _gather_prec(right.dtype)
     j_row = jax.lax.broadcasted_iota(jnp.int32, (xw, lw), 1)
     r_row = jax.lax.broadcasted_iota(jnp.int32, (xw, lw), 0)
     if transpose:
-        T = (r_row == j_row // k).astype(right.dtype)
+        T = (r_row == j_row // k).astype(jnp.float32)
         d = k
     else:
-        T = (r_row == j_row % k).astype(right.dtype)
+        T = (r_row == j_row % k).astype(jnp.float32)
         d = m
-    x_tiled = jax.lax.dot_general(
-        right, T, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec)
+    x_tiled = exact_dot(T, right, (((1,), (0,)), ((), ())),
+                        onehot_left=False)
     term = left.astype(jnp.float32) * x_tiled
     j_col = jax.lax.broadcasted_iota(jnp.int32, (lw, d), 0)
     o_col = jax.lax.broadcasted_iota(jnp.int32, (lw, d), 1)
@@ -120,11 +164,10 @@ def _expand_mv(left, right, m: int, k: int, lw: int, xw: int,
         G = (j_col % k == o_col).astype(jnp.float32)
     else:
         G = (j_col // k == o_col).astype(jnp.float32)
-    # G sums f32 terms -> always exact multi-pass
-    return jax.lax.dot_general(
-        term, G, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    # the G contraction SUMS f32 terms: split term (3 bf16 passes, f32
+    # accumulate) ≡ HIGHEST quality at half the passes
+    return exact_dot(G, term, (((1,), (0,)), ((), ())),
+                     onehot_left=False)
 
 
 def _kernel_stream(left_ref, right_ref, dst_ref, out_ref, *, chunk, m, k,
@@ -142,15 +185,12 @@ def _kernel_stream(left_ref, right_ref, dst_ref, out_ref, *, chunk, m, k,
     prod = _expand_mv(left, right, m, k, lw, rw, transpose)
     if bf16_reduce:
         prod = prod.astype(jnp.bfloat16)
-        rprec = jax.lax.Precision.DEFAULT
-    else:
-        rprec = jax.lax.Precision.HIGHEST
+    pparts = value_parts(prod)
     for t0 in range(0, to_pad, tb):
         rows = jax.lax.broadcasted_iota(jnp.int32, (tb, chunk), 0) + t0
-        oh = (rows == dst).astype(prod.dtype)
-        contr = jax.lax.dot_general(
-            oh, prod, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=rprec)
+        oh = (rows == dst).astype(jnp.float32)
+        contr = parts_dot(pparts, oh, (((1,), (0,)), ((), ())),
+                          onehot_left=True)
         if d_pad != d:
             contr = jnp.concatenate(
                 [contr, jnp.zeros((tb, d_pad - d), contr.dtype)], axis=1)

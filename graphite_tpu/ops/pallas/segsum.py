@@ -79,14 +79,12 @@ def _kernel(starts_ref, vals_ref, seg_ref, out_ref, *, chunk, window,
     w0 = (starts_ref[i] // 8) * 8
     seg_row = seg_ref[pl.ds(jax.lax.rem(i, jnp.int32(8)), 1), :]  # (1, CHUNK)
     row = jax.lax.broadcasted_iota(jnp.int32, (window, chunk), 0)
-    # exact 0/1 one-hot; f32 matmul keeps full value precision (bf16x3 on MXU)
+    # exact 0/1 one-hot: split only the value side (segmv.parts_dot) —
+    # 3 single-pass bf16 dots ≈ HIGHEST quality at half the MXU passes
     onehot_t = (seg_row - w0 == row).astype(jnp.float32)
-    vals = vals_ref[:].astype(jnp.float32)
-    partial = jax.lax.dot_general(
-        onehot_t, vals, (((1,), (0,)), ((), ())),
-        preferred_element_type=acc_dtype,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    from .segmv import parts_dot, value_parts
+    partial = parts_dot(value_parts(vals_ref[:]), onehot_t,
+                        (((1,), (0,)), ((), ())), onehot_left=True)
     cur = out_ref[pl.ds(w0, window), :]
     out_ref[pl.ds(w0, window), :] = cur + partial.astype(out_ref.dtype)
 

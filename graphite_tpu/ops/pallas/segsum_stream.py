@@ -33,6 +33,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .segmv import exact_dot, parts_dot, value_parts
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -160,12 +162,11 @@ def _kernel(starts_ref, nflush_ref, bases_ref, vals_ref, seg_ref, out_ref,
         seg_row = seg_ref[pl.ds(jax.lax.rem(i, jnp.int32(8)), 1), :]  # (1, chunk)
         row = jax.lax.broadcasted_iota(jnp.int32, (w_pad, chunk), 0)
         onehot_t = (seg_row - w0 == row).astype(jnp.float32)
-        vals = vals_ref[:].astype(jnp.float32)
-        partial = jax.lax.dot_general(
-            onehot_t, vals, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        # one-hot side is exactly bf16-representable -> split only the
+        # value side (segmv.parts_dot): 3 single-pass bf16 dots ≈ HIGHEST
+        # quality at half the MXU passes (1 pass for bf16 streams)
+        partial = parts_dot(value_parts(vals_ref[:]), onehot_t,
+                            (((1,), (0,)), ((), ())), onehot_left=True)
         if d_pad != d:  # DMA lanes are 128-aligned; values are not
             partial = jnp.concatenate(
                 [partial, jnp.zeros((w_pad, d_pad - d), partial.dtype)],
@@ -369,8 +370,10 @@ def _kernel_prod(starts_ref, nflush_ref, bases_ref, left_ref, right_ref,
         w0 = starts_ref[i]
         seg_row = seg_ref[pl.ds(jax.lax.rem(i, jnp.int32(8)), 1), :]  # (1, chunk)
         d = m * n
-        left = left_ref[:].astype(jnp.float32)
-        right = right_ref[:].astype(jnp.float32)
+        # keep streams in storage dtype: value_parts passes bf16 through
+        # (1 MXU pass) and 3-way-splits f32 (3 passes ≈ HIGHEST quality)
+        left = left_ref[:]
+        right = right_ref[:]
         if n == 1:
             # block-MATVEC fast path (prod = A(m,k) @ x(k,)): the
             # per-slice loop below keeps kdim live (chunk, d) temporary
@@ -387,45 +390,35 @@ def _kernel_prod(starts_ref, nflush_ref, bases_ref, left_ref, right_ref,
             row_t = jax.lax.broadcasted_iota(jnp.int32, (rw, lw), 0)
             col_t = jax.lax.broadcasted_iota(jnp.int32, (rw, lw), 1)
             T = (row_t == col_t % kdim).astype(jnp.float32)
-            x_tiled = jax.lax.dot_general(
-                right, T, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            x_tiled = exact_dot(T, right, (((1,), (0,)), ((), ())),
+                                onehot_left=False)
             row_g = jax.lax.broadcasted_iota(jnp.int32, (lw, d), 0)
             col_g = jax.lax.broadcasted_iota(jnp.int32, (lw, d), 1)
             G = (row_g // kdim == col_g).astype(jnp.float32)
-            prod = jax.lax.dot_general(
-                left * x_tiled, G, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            prod = exact_dot(
+                G, left.astype(jnp.float32) * x_tiled,
+                (((1,), (0,)), ((), ())), onehot_left=False)
         else:
             prod = None
         # in-kernel flat block product A @ B^T via per-slice expansion
-        # matmuls (bounded (chunk, d) temporaries)
+        # matmuls (bounded (chunk, d) temporaries); split the value
+        # operands ONCE, reuse across all kdim slices
+        if n > 1:
+            lparts = value_parts(left)
+            rparts = value_parts(right)
         for b in range(kdim if n > 1 else 0):
             P, Q = _expansion_onehots_slice(m, kdim, n, b, lw=lw, rw=rw)
-            lexp = jax.lax.dot_general(
-                left, P, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            rexp = jax.lax.dot_general(
-                right, Q, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            lexp = parts_dot(lparts, P, (((1,), (0,)), ((), ())),
+                             onehot_left=False)
+            rexp = parts_dot(rparts, Q, (((1,), (0,)), ((), ())),
+                             onehot_left=False)
             term = lexp * rexp
             prod = term if prod is None else prod + term
 
         row = jax.lax.broadcasted_iota(jnp.int32, (w_pad, chunk), 0)
         onehot_t = (seg_row - w0 == row).astype(jnp.float32)
-        partial = jax.lax.dot_general(
-            onehot_t, prod, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        partial = parts_dot(value_parts(prod), onehot_t,
+                            (((1,), (0,)), ((), ())), onehot_left=True)
         if d_pad != d:
             partial = jnp.concatenate(
                 [partial, jnp.zeros((w_pad, d_pad - d), partial.dtype)],
@@ -560,11 +553,8 @@ def _kernel_mv_tbl(starts_ref, nflush_ref, bases_ref, left_ref, xtab_ref,
                           transpose)
         row = jax.lax.broadcasted_iota(jnp.int32, (w_pad, chunk), 0)
         onehot_t = (seg_row - w0 == row).astype(jnp.float32)
-        partial = jax.lax.dot_general(
-            onehot_t, prod, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        partial = parts_dot(value_parts(prod), onehot_t,
+                            (((1,), (0,)), ((), ())), onehot_left=True)
         if d_pad != d:
             partial = jnp.concatenate(
                 [partial, jnp.zeros((w_pad, d_pad - d), partial.dtype)],
