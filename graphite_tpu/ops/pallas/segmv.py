@@ -228,6 +228,198 @@ def plan_block_matvec(K: int, chunk: int = 1024) -> dict:
     return dict(K=K, k_pad=k_pad, chunk=chunk, n_chunks=k_pad // chunk)
 
 
+def slot_geom(d: int):
+    """Slot width / count for 8-row lane packing: d values live in a
+    dw-lane slot, nslot = 128/dw slots per 128-lane packed row."""
+    dw = next(w for w in (16, 32, 64, 128) if d <= w)
+    return dw, 128 // dw
+
+
+def pack_rows(x2d: jax.Array, nslot: int):
+    """(tp, dw) zero-padded row table -> (tp/nslot, 128) packed rows
+    (row r at packed[r // nslot, (r % nslot) * dw : ... + dw])."""
+    tp, dw = x2d.shape
+    return x2d.reshape(tp // nslot, nslot * dw)
+
+
+def _slot_mask(idx_row, dw: int, nslot: int, chunk: int):
+    """(chunk, 128) 0/1 mask M[c, l] = (idx[c] % nslot == l // dw), built
+    from the (1, chunk) LANE vector without a lane->sublane transpose:
+    one (nslot)-contraction dot of two exact 0/1 bf16 operands."""
+    s_row = jax.lax.broadcasted_iota(jnp.int32, (nslot, chunk), 0)
+    ohs = (s_row == jax.lax.rem(idx_row, jnp.int32(nslot))).astype(
+        jnp.bfloat16)
+    e_s = jax.lax.broadcasted_iota(jnp.int32, (nslot, 128), 0)
+    e_l = jax.lax.broadcasted_iota(jnp.int32, (nslot, 128), 1)
+    E = (e_l // dw == e_s).astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        ohs, E, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+
+
+def packed_gather(idx_row, ptab_ref, np_rows: int, chunk: int, dw: int,
+                  nslot: int, tb: int = TB):
+    """(chunk, dw) f32 = x_table[idx] from a PACKED (np_rows, 128) VMEM
+    table: the one-hot contraction runs over nslot-times fewer rows with
+    all 128 output lanes live (~8x fewer effective MACs than the
+    unpacked `onehot_gather`), then a slot mask + fold select each row's
+    own dw-lane slot."""
+    prow = idx_row // jnp.int32(nslot)
+    acc = None
+    for t0 in range(0, np_rows, tb):
+        nrow = min(tb, np_rows - t0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (nrow, chunk), 0) + t0
+        oh = (rows == prow).astype(jnp.float32)
+        part = exact_dot(oh, ptab_ref[pl.ds(t0, nrow), :],
+                         (((0,), (0,)), ((), ())), onehot_left=True)
+        acc = part if acc is None else acc + part
+    sel = acc * _slot_mask(idx_row, dw, nslot, chunk)
+    f_l = jax.lax.broadcasted_iota(jnp.int32, (128, dw), 0)
+    f_j = jax.lax.broadcasted_iota(jnp.int32, (128, dw), 1)
+    F = (f_l % dw == f_j).astype(jnp.float32)
+    # fold sums one nonzero slot + zeros per row: exact copy via split
+    return exact_dot(F, sel, (((1,), (0,)), ((), ())), onehot_left=False)
+
+
+def packed_scatter(prod, dst_row, out_ref, np_rows: int, chunk: int,
+                   d: int, dw: int, nslot: int, tb: int = TB):
+    """out_packed[dst // nslot, (dst % nslot)*dw + j] += prod[c, j] at
+    UNSORTED ids: slot-expand the (chunk, d) values to (chunk, 128),
+    then tb-blocked transposed one-hot dots over the PACKED row range
+    (~8x fewer effective MACs than the unpacked `_scatter_table`)."""
+    t_j = jax.lax.broadcasted_iota(jnp.int32, (d, 128), 0)
+    t_l = jax.lax.broadcasted_iota(jnp.int32, (d, 128), 1)
+    T2 = (t_l % dw == t_j).astype(jnp.float32)
+    prod_t = exact_dot(T2, prod, (((1,), (0,)), ((), ())),
+                       onehot_left=False)
+    pexp = prod_t * _slot_mask(dst_row, dw, nslot, chunk)
+    pparts = value_parts(pexp)
+    prow = dst_row // jnp.int32(nslot)
+    for t0 in range(0, np_rows, tb):
+        nrow = min(tb, np_rows - t0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (nrow, chunk), 0) + t0
+        oh = (rows == prow).astype(jnp.float32)
+        contr = parts_dot(pparts, oh, (((1,), (0,)), ((), ())),
+                          onehot_left=True)
+        cur = out_ref[pl.ds(t0, nrow), :]
+        out_ref[pl.ds(t0, nrow), :] = cur + contr
+
+
+def _scatter_table(parts, dst, to_pad: int, tb: int, chunk: int, d: int,
+                   d_pad: int, out_ref):
+    """Accumulate value_parts rows into a VMEM table at UNSORTED ids:
+    out[dst[c]] += val[c] via tb-blocked transposed one-hot dots."""
+    for t0 in range(0, to_pad, tb):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tb, chunk), 0) + t0
+        oh = (rows == dst).astype(jnp.float32)
+        contr = parts_dot(parts, oh, (((1,), (0,)), ((), ())),
+                          onehot_left=True)
+        if d_pad != d:
+            contr = jnp.concatenate(
+                [contr, jnp.zeros((tb, d_pad - d), contr.dtype)], axis=1)
+        cur = out_ref[pl.ds(t0, tb), :]
+        out_ref[pl.ds(t0, tb), :] = cur + contr
+
+
+def _kernel_sym(left_ref, xc_ref, xr_ref, cid_ref, rid_ref, rxi_ref,
+                yr_ref, yc_ref, *, chunk, m, k, lw, dw, nslot, npc, npr,
+                npor, npoc, xdt):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        yr_ref[:] = jnp.zeros_like(yr_ref)
+        yc_ref[:] = jnp.zeros_like(yc_ref)
+
+    sub = pl.ds(jax.lax.rem(i, jnp.int32(8)), 1)
+    cid = cid_ref[sub, :]  # col ids: forward x index AND transposed dst
+    rid = rid_ref[sub, :]  # row ids: forward dst
+    rxi = rxi_ref[sub, :]  # masked row ids: transposed x index
+    left = left_ref[:]
+    # forward: y_r[rid] += A x_c[cid]; the gather is exact, so casting
+    # back to the table dtype is lossless (bf16 tables -> 1-pass dots)
+    xc = packed_gather(cid, xc_ref, npc, chunk, dw, nslot)
+    pf = _expand_mv(left, xc.astype(xdt), m, k, lw, dw, transpose=False)
+    packed_scatter(pf, rid, yr_ref, npor, chunk, m, dw, nslot)
+    # transposed: y_c[cid] += A^T x_r[rxi] (diag blocks: rxi -> zero row)
+    xr = packed_gather(rxi, xr_ref, npr, chunk, dw, nslot)
+    pt = _expand_mv(left, xr.astype(xdt), m, k, lw, dw, transpose=True)
+    packed_scatter(pt, cid, yc_ref, npoc, chunk, k, dw, nslot)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "m", "k", "lw", "dw", "nslot",
+                              "npc", "npr", "npor", "npoc", "n_chunks"))
+def _run_sym(left_pad, xc_tab, xr_tab, cid, rid, rxi, *, chunk, m, k, lw,
+             dw, nslot, npc, npr, npor, npoc, n_chunks):
+    yr, yc = pl.pallas_call(
+        functools.partial(
+            _kernel_sym, chunk=chunk, m=m, k=k, lw=lw, dw=dw,
+            nslot=nslot, npc=npc, npr=npr, npor=npor, npoc=npoc,
+            xdt=xc_tab.dtype),
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((chunk, lw), lambda i: (i, 0)),
+            pl.BlockSpec((npc, nslot * dw), lambda i: (0, 0)),
+            pl.BlockSpec((npr, nslot * dw), lambda i: (0, 0)),
+            pl.BlockSpec((8, chunk), lambda i: (i // 8, 0)),
+            pl.BlockSpec((8, chunk), lambda i: (i // 8, 0)),
+            pl.BlockSpec((8, chunk), lambda i: (i // 8, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((npor, 128), lambda i: (0, 0)),
+            pl.BlockSpec((npoc, 128), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((npor, 128), jnp.float32),
+            jax.ShapeDtypeStruct((npoc, 128), jnp.float32),
+        ],
+    )(left_pad, xc_tab, xr_tab, cid, rid, rxi)
+    return yr, yc
+
+
+def matvec_sym_stream(left_pad, xc_rows, xr_rows, cid, rid, rxi, plan,
+                      m: int, k: int, n_r: int, n_c: int):
+    """SYMMETRIC block matvec: ONE natural-order read of the stored
+    triangle computes both directions into VMEM-resident PACKED tables —
+
+        y_r[rid] += A x_c[cid]        (all blocks)
+        y_c[cid] += A^T x_r[rxi]      (rxi = rid off-diagonal, zero row
+                                       for diagonal/pad rows)
+
+    No destination ordering, no flush schedule, no per-solve permuted or
+    transposed S copies (the r4 tbl path built TWO full S copies per
+    solve and read both per matvec; this kernel reads the one stored S
+    once per matvec). The x tables and y accumulators are slot-PACKED 8
+    rows per 128-lane row, so every one-hot contraction runs with full
+    output lanes (~8x fewer effective MACs than 9/16-lane tables).
+
+    ``xc_rows`` / ``xr_rows``: (tpad(n+1), dw) zero-padded row tables
+    with dw = slot_geom(max(m, k))[0] (packed internally). Feasible when
+    both pose row tables fit the in-kernel gather limit
+    (TABLE_ROWS_LIMIT). Returns ((n_r, m), (n_c, k)) f32.
+
+    Reference parity: the symmetric S block matvec of the PCG-Schur
+    solver (schur.hpp:307-393, pcg_schur.hpp:108-163) — the atomicAdd
+    over both triangles restated as transposed one-hot MXU reductions.
+    """
+    dw, nslot = slot_geom(max(m, k))
+    assert xc_rows.shape[1] == dw and xr_rows.shape[1] == dw
+    tor_pad = tpad(n_r + 1)
+    toc_pad = tpad(n_c + 1)
+    yr, yc = _run_sym(
+        left_pad, pack_rows(xc_rows, nslot), pack_rows(xr_rows, nslot),
+        cid, rid, rxi,
+        chunk=plan["chunk"], m=m, k=k, lw=left_pad.shape[1],
+        dw=dw, nslot=nslot, npc=xc_rows.shape[0] // nslot,
+        npr=xr_rows.shape[0] // nslot, npor=tor_pad // nslot,
+        npoc=toc_pad // nslot, n_chunks=plan["n_chunks"])
+    yr = yr.reshape(-1, dw)[:n_r, :m]
+    yc = yc.reshape(-1, dw)[:n_c, :k]
+    return yr, yc
+
+
 def block_matvec_stream(left_pad, right_pad, plan, dst, m: int, k: int,
                         n_rows: int, transpose: bool = False,
                         bf16_reduce: bool = False):

@@ -953,6 +953,57 @@ def _smv_chunk_rows(row_bytes: int) -> int:
     return map_chunk_rows(row_bytes)
 
 
+def _plan_smv_sym(problem, ck, sub, rrow_l, crow_l, off,
+                  nseg_r, nseg_c, dr, dc, dtype):
+    """Round-4 SYMMETRIC single-pass S matvec site, or None.
+
+    One natural-order read of the stored S blocks per matvec computes
+    BOTH directions (y_r += S x_c for every block; y_c += S^T x_r off-
+    diagonal) into VMEM-resident pose accumulator tables
+    (ops/pallas/segmv.matvec_sym_stream). Versus the tbl sites this
+    deletes the per-solve CSR-permuted S copy (prepare_matvec builds
+    only the zero-padded natural stream) and halves per-matvec S
+    traffic; no destination ordering is needed at all, so there is no
+    flush schedule. Requires both pose row tables within the in-kernel
+    gather limit. Reference: schur.hpp:307-393 (the symmetric S block
+    matvec whose atomicAdd covers both triangles from one block read).
+    """
+    if (os.environ.get("GRAPHITE_TPU_NO_SMV_SYM")
+            or os.environ.get("GRAPHITE_TPU_NO_SMV_TBL")
+            or os.environ.get("GRAPHITE_TPU_NO_SMV_STREAM")):
+        return None
+    from .ops.pallas.segmv import (
+        TABLE_ROWS_LIMIT,
+        pack_chunk_ids,
+        plan_block_matvec,
+        tpad,
+    )
+
+    cache = problem._cache.setdefault("smv_sym_sites", {})
+    if ck in cache:
+        return cache[ck]
+    site = None
+    K = sub.shape[0]
+    row_bytes = (dr * dc + dr + dc + 3) * 4
+    if (K > _smv_chunk_rows(row_bytes)
+            and tpad(nseg_r + 1) <= TABLE_ROWS_LIMIT
+            and tpad(nseg_c + 1) <= TABLE_ROWS_LIMIT):
+        plan = plan_block_matvec(K, chunk=2048)
+        kp, chunk = plan["k_pad"], plan["chunk"]
+        site = dict(
+            plan=plan,
+            # col ids double as the forward x index (fill = zero row)
+            # and the transposed destination (fill = trash row): both
+            # conventions use id nseg_c
+            cid=pack_chunk_ids(crow_l, kp, chunk, fill=nseg_c),
+            rid=pack_chunk_ids(rrow_l, kp, chunk, fill=nseg_r),
+            rxi=pack_chunk_ids(np.where(off, rrow_l, nseg_r), kp,
+                               chunk, fill=nseg_r),
+        )
+    cache[ck] = site
+    return site
+
+
 def _plan_smv_tbl(problem, ck, sub, rrow_l, crow_l, off,
                   nseg_r, nseg_c, dr, dc, dtype):
     """Round-4 streaming-matvec site with IN-KERNEL x gathers, or None.
@@ -1211,6 +1262,7 @@ class SchurOps:
             # only); prefer the round-4 in-kernel-gather sites
             sites = []
             tbl_sites = []
+            sym_sites = []
             for rt, rsel, rrow in self._cached_partition(
                     f"s_rows_{key}", rows_b):
                 for ct, csel, crow in self._cached_partition(
@@ -1221,6 +1273,10 @@ class SchurOps:
                     args = (problem, ck, sub, rrow[csel], crow, off,
                             problem.seg_rows[rt], problem.seg_rows[ct],
                             dr_k, dc_k, S.dtype)
+                    site = _plan_smv_sym(*args)
+                    if site is not None:
+                        sym_sites.append((ck, site, sub))
+                        continue
                     site = _plan_smv_tbl(*args)
                     if site is not None:
                         tbl_sites.append((ck, site, sub))
@@ -1228,6 +1284,15 @@ class SchurOps:
                     site = _plan_smv_stream(*args)
                     if site is not None:
                         sites.append((ck, site))
+            for ck, site, sub in sym_sites:
+                # ONE per-solve copy: the zero-padded natural-order
+                # stream in stream_dtype (no permuted/transposed copies)
+                kp = site["plan"]["k_pad"]
+                S_sub = _maybe_rows(problem, ck + ("ysub",),
+                                    S.astype(sdt), sub)
+                S_nat = jnp.zeros((kp, S.shape[1]), sdt)
+                S_nat = jax.lax.dynamic_update_slice(S_nat, S_sub, (0, 0))
+                prep[ck] = ("sym", site, S_nat)
             if tbl_sites:
                 # per-solve copies in stream_dtype: the CSR-permuted
                 # forward stream (one row gather per SOLVE, amortized
@@ -1473,6 +1538,43 @@ class SchurOps:
                     rrow_l = rrow[csel]
 
                     prep = self._smv_prep.get(ck)
+                    if prep is not None and prep[0] == "sym":
+                        # Round-4 SYMMETRIC single-pass matvec: one
+                        # natural-order S read per matvec computes both
+                        # directions into VMEM pose tables; x gathered
+                        # in-kernel; no per-solve permuted copies.
+                        from .ops.pallas.segmv import (
+                            matvec_sym_stream,
+                            slot_geom,
+                            tpad as _tpad,
+                        )
+
+                        _, site, S_nat = prep
+                        sdt_k = S_nat.dtype
+                        xw = slot_geom(max(dr_k, dc_k))[0]
+                        nc = problem.seg_rows[ct]
+                        nr = problem.seg_rows[rt]
+                        xc = jnp.zeros((_tpad(nc + 1), xw), sdt_k)
+                        xc = jax.lax.dynamic_update_slice(
+                            xc, problem.rows_view(x, ct).astype(sdt_k),
+                            (0, 0))
+                        if rt == ct:
+                            xr = xc
+                        else:
+                            xr = jnp.zeros((_tpad(nr + 1), xw), sdt_k)
+                            xr = jax.lax.dynamic_update_slice(
+                                xr,
+                                problem.rows_view(x, rt).astype(sdt_k),
+                                (0, 0))
+                        yr, yc = matvec_sym_stream(
+                            S_nat, xc, xr,
+                            problem.const(ck + ("ycid",), site["cid"]),
+                            problem.const(ck + ("yrid",), site["rid"]),
+                            problem.const(ck + ("yrxi",), site["rxi"]),
+                            site["plan"], dr_k, dc_k, nr, nc)
+                        add_rows(rt, yr.astype(gdt))
+                        add_rows(ct, yc.astype(gdt))
+                        continue
                     if prep is not None and prep[0] == "tbl":
                         # Round-4 streaming matvec: S read exactly twice
                         # per matvec (forward CSR-permuted copy + natural

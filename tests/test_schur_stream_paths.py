@@ -128,13 +128,16 @@ def test_streamed_parts_product_matches_simple(_force_stream, monkeypatch,
             rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("variant", ["tbl", "wide"])
+@pytest.mark.parametrize("variant", ["sym", "tbl", "wide"])
 def test_s_matvec_streaming_matches_fallback(_force_stream, monkeypatch,
                                              variant):
     """prepare_matvec + the streaming S matvec ≡ the portable
-    folded/stepwise path. Two prepared variants: the round-4 in-kernel
-    x-gather sites ("tbl", ops/pallas/segmv.py) and the r3 wide
-    pre-gathered-x sites ("wide", forced via GRAPHITE_TPU_NO_SMV_TBL)."""
+    folded/stepwise path. Three prepared variants: the round-4 symmetric
+    single-pass sites ("sym", the default), the in-kernel x-gather dual-
+    direction sites ("tbl", forced via GRAPHITE_TPU_NO_SMV_SYM) and the
+    r3 wide pre-gathered-x sites ("wide", via GRAPHITE_TPU_NO_SMV_TBL)."""
+    if variant == "tbl":
+        monkeypatch.setenv("GRAPHITE_TPU_NO_SMV_SYM", "1")
     if variant == "wide":
         monkeypatch.setenv("GRAPHITE_TPU_NO_SMV_TBL", "1")
     monkeypatch.setattr(schur_mod, "_smv_chunk_rows", lambda rb: 4)
@@ -176,7 +179,8 @@ def test_pcg_schur_solve_with_streaming_matvec(_force_stream, monkeypatch):
     st = solver.prepare(problem, lin)
     dx, ok = solver.solve(problem, lin, st, damping, False)
     sites = {**problem._cache.get("smv_stream_sites", {}),
-             **problem._cache.get("smv_tbl_sites", {})}
+             **problem._cache.get("smv_tbl_sites", {}),
+             **problem._cache.get("smv_sym_sites", {})}
     assert any(v is not None for v in sites.values()), (
         "streaming matvec did not engage in the solve")
 

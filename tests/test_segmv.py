@@ -146,3 +146,49 @@ def test_block_matvec_stream_unsorted_dst(m, kk, transpose, bf16_reduce):
     tol = 2e-2 if bf16_reduce else 1e-4
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=tol, atol=tol)
+
+
+@pytest.mark.parametrize("m,kk", [(9, 9), (6, 9)])
+def test_matvec_sym_stream(m, kk):
+    """Symmetric single-pass matvec: one stored-triangle read computes
+    y_r[rid] += A x_c[cid] (all blocks) and y_c[cid] += A^T x_r[rid]
+    (off-diagonal), destinations in ANY order."""
+    from graphite_tpu.ops.pallas.segmv import matvec_sym_stream, slot_geom
+
+    rng = np.random.default_rng(11 + m)
+    K, n_r, n_c, chunk = 3_000, 210, 180, 512
+    rid = rng.integers(0, n_r, size=K).astype(np.int32)  # UNSORTED
+    cid = rng.integers(0, n_c, size=K).astype(np.int32)
+    # a sprinkle of "diagonal" blocks (same vertex) when square
+    diag = (rng.random(K) < 0.15) if m == kk else np.zeros(K, bool)
+    left = rng.standard_normal((K, m * kk)).astype(np.float32)
+    xc_rows = rng.standard_normal((n_c, kk)).astype(np.float32)
+    xr_rows = rng.standard_normal((n_r, m)).astype(np.float32)
+
+    plan = plan_block_matvec(K, chunk=chunk)
+    k_pad = plan["k_pad"]
+    lp = np.full((k_pad, m * kk), 1e10, np.float32)  # garbage pad rows
+    lp[:K] = left
+    xw = slot_geom(max(m, kk))[0]  # slot width; dead lanes zero
+    xc_tab = _xtab(xc_rows, xw)
+    xr_tab = _xtab(xr_rows, xw)
+    rxi = np.where(diag, n_r, rid).astype(np.int32)
+    cid_p = pack_chunk_ids(cid, k_pad, chunk, fill=n_c)
+    rid_p = pack_chunk_ids(rid, k_pad, chunk, fill=n_r)
+    rxi_p = pack_chunk_ids(rxi, k_pad, chunk, fill=n_r)
+
+    yr, yc = matvec_sym_stream(
+        jnp.asarray(lp), xc_tab, xr_tab, jnp.asarray(cid_p),
+        jnp.asarray(rid_p), jnp.asarray(rxi_p), plan, m, kk, n_r, n_c)
+
+    pf = flat_block_mv(jnp.asarray(left), jnp.asarray(xc_rows[cid]),
+                       m, kk, acc_dtype=jnp.float32)
+    yr_ref = jax.ops.segment_sum(pf, jnp.asarray(rid), num_segments=n_r)
+    xg = np.where(diag[:, None], 0.0, xr_rows[rid])
+    pt = flat_block_mv_t(jnp.asarray(left), jnp.asarray(xg), m, kk,
+                         acc_dtype=jnp.float32)
+    yc_ref = jax.ops.segment_sum(pt, jnp.asarray(cid), num_segments=n_c)
+    np.testing.assert_allclose(np.asarray(yr), np.asarray(yr_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(yc), np.asarray(yc_ref),
+                               rtol=1e-4, atol=1e-4)

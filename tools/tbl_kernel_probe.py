@@ -143,6 +143,47 @@ def main():
         print(f"bschur_fused {np.dtype(sdt).name:8s}            "
               f"K={K} relerr={err:.2e}  {ms:7.2f} ms", flush=True)
         assert err < (3e-2 if bf16r else 1e-4), err
+
+        # SYMMETRIC single-pass matvec: one S read, both directions
+        from graphite_tpu.ops.pallas.segmv import matvec_sym_stream
+
+        splan = plan_block_matvec(K, chunk=2048)
+        kps = splan["k_pad"]
+        rid = np.sort(rng.integers(0, NS, size=K)).astype(np.int32)
+        cid2 = rng.integers(0, NS, size=K).astype(np.int32)
+        lps = jnp.zeros((kps, M * KK), sdt)
+        lps = jax.lax.dynamic_update_slice(lps, left.astype(sdt), (0, 0))
+        cid_p = jnp.asarray(pack_chunk_ids(cid2, kps, 2048, fill=NS))
+        rid_p = jnp.asarray(pack_chunk_ids(rid, kps, 2048, fill=NS))
+        off = rid != cid2
+        rxi_p = jnp.asarray(pack_chunk_ids(
+            np.where(off, rid, NS), kps, 2048, fill=NS))
+        yr, yc = jax.jit(
+            lambda lp, xt, a, b, c: matvec_sym_stream(
+                lp, xt, xt, a, b, c, splan, M, KK, NS, NS)
+        )(lps, xtab, cid_p, rid_p, rxi_p)
+        lf = left.astype(sdt).astype(jnp.float32)
+        xf = x.astype(sdt).astype(jnp.float32)
+        pf = flat_block_mv(lf, xf[jnp.asarray(cid2)], M, KK,
+                           acc_dtype=jnp.float32)
+        yr_ref = jax.ops.segment_sum(pf, jnp.asarray(rid), num_segments=NS)
+        xg2 = jnp.where(jnp.asarray(off)[:, None], xf[jnp.asarray(rid)], 0.0)
+        pt = flat_block_mv_t(lf, xg2, M, KK, acc_dtype=jnp.float32)
+        yc_ref = jax.ops.segment_sum(pt, jnp.asarray(cid2), num_segments=NS)
+        err = max(
+            float(jnp.max(jnp.abs(yr - yr_ref))
+                  / (1e-6 + jnp.max(jnp.abs(yr_ref)))),
+            float(jnp.max(jnp.abs(yc - yc_ref))
+                  / (1e-6 + jnp.max(jnp.abs(yc_ref)))))
+        ms = loop_time(
+            lambda xt, lp, a, b, c: matvec_sym_stream(
+                lp, xt, xt, a, b, c, splan, M, KK, NS, NS)[0],
+            xtab, lps, cid_p, rid_p, rxi_p)
+        print(f"matvec_sym   {np.dtype(sdt).name:8s} both-dir   "
+              f"K={K} relerr={err:.2e}  {ms:7.2f} ms "
+              f"({K * (M * KK) * np.dtype(sdt).itemsize / ms / 1e6:.0f}"
+              f" GB/s stream)", flush=True)
+        assert err < (3e-2 if sdt == jnp.bfloat16 else 1e-5), err
     print("PASS", flush=True)
 
 
