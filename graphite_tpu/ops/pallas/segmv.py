@@ -171,7 +171,7 @@ def _expand_mv(left, right, m: int, k: int, lw: int, xw: int,
 
 
 def _kernel_stream(left_ref, right_ref, dst_ref, out_ref, *, chunk, m, k,
-                   lw, rw, to_pad, tb, d, d_pad, transpose, bf16_reduce):
+                   lw, rw, npo, dw, nslot, d, transpose, bf16_reduce):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -183,33 +183,21 @@ def _kernel_stream(left_ref, right_ref, dst_ref, out_ref, *, chunk, m, k,
     left = left_ref[:]
     right = right_ref[:].astype(jnp.float32)
     prod = _expand_mv(left, right, m, k, lw, rw, transpose)
-    if bf16_reduce:
-        prod = prod.astype(jnp.bfloat16)
-    pparts = value_parts(prod)
-    for t0 in range(0, to_pad, tb):
-        rows = jax.lax.broadcasted_iota(jnp.int32, (tb, chunk), 0) + t0
-        oh = (rows == dst).astype(jnp.float32)
-        contr = parts_dot(pparts, oh, (((1,), (0,)), ((), ())),
-                          onehot_left=True)
-        if d_pad != d:
-            contr = jnp.concatenate(
-                [contr, jnp.zeros((tb, d_pad - d), contr.dtype)], axis=1)
-        cur = out_ref[pl.ds(t0, tb), :]
-        out_ref[pl.ds(t0, tb), :] = cur + contr
+    packed_scatter(prod, dst, out_ref, npo, chunk, d, dw, nslot,
+                   bf16_reduce=bf16_reduce)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("chunk", "m", "k", "lw", "rw", "to_pad",
-                              "tb", "n_chunks", "transpose",
+    jax.jit, static_argnames=("chunk", "m", "k", "lw", "rw", "npo", "dw",
+                              "nslot", "n_chunks", "transpose",
                               "bf16_reduce"))
-def _run_stream(left_pad, right_pad, dst, *, chunk, m, k, lw, rw, to_pad,
-                tb, n_chunks, transpose, bf16_reduce):
+def _run_stream(left_pad, right_pad, dst, *, chunk, m, k, lw, rw, npo, dw,
+                nslot, n_chunks, transpose, bf16_reduce):
     d = k if transpose else m
-    d_pad = _round_up(d, 128)
     out = pl.pallas_call(
         functools.partial(
             _kernel_stream, chunk=chunk, m=m, k=k, lw=lw, rw=rw,
-            to_pad=to_pad, tb=tb, d=d, d_pad=d_pad, transpose=transpose,
+            npo=npo, dw=dw, nslot=nslot, d=d, transpose=transpose,
             bf16_reduce=bf16_reduce),
         grid=(n_chunks,),
         in_specs=[
@@ -217,10 +205,10 @@ def _run_stream(left_pad, right_pad, dst, *, chunk, m, k, lw, rw, to_pad,
             pl.BlockSpec((chunk, rw), lambda i: (i, 0)),
             pl.BlockSpec((8, chunk), lambda i: (i // 8, 0)),
         ],
-        out_specs=pl.BlockSpec((to_pad, d_pad), lambda i: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((to_pad, d_pad), jnp.float32),
+        out_specs=pl.BlockSpec((npo, 128), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((npo, 128), jnp.float32),
     )(left_pad, right_pad, dst)
-    return out[:, :d]
+    return out.reshape(-1, dw)[:, :d]
 
 
 def plan_block_matvec(K: int, chunk: int = 1024) -> dict:
@@ -283,7 +271,8 @@ def packed_gather(idx_row, ptab_ref, np_rows: int, chunk: int, dw: int,
 
 
 def packed_scatter(prod, dst_row, out_ref, np_rows: int, chunk: int,
-                   d: int, dw: int, nslot: int, tb: int = TB):
+                   d: int, dw: int, nslot: int, tb: int = TB,
+                   bf16_reduce: bool = False):
     """out_packed[dst // nslot, (dst % nslot)*dw + j] += prod[c, j] at
     UNSORTED ids: slot-expand the (chunk, d) values to (chunk, 128),
     then tb-blocked transposed one-hot dots over the PACKED row range
@@ -294,6 +283,8 @@ def packed_scatter(prod, dst_row, out_ref, np_rows: int, chunk: int,
     prod_t = exact_dot(T2, prod, (((1,), (0,)), ((), ())),
                        onehot_left=False)
     pexp = prod_t * _slot_mask(dst_row, dw, nslot, chunk)
+    if bf16_reduce:
+        pexp = pexp.astype(jnp.bfloat16)
     pparts = value_parts(pexp)
     prow = dst_row // jnp.int32(nslot)
     for t0 in range(0, np_rows, tb):
@@ -430,12 +421,15 @@ def block_matvec_stream(left_pad, right_pad, plan, dst, m: int, k: int,
 
     ``bf16_reduce`` rounds each per-row product to bf16 before the
     destination reduce (f32 accumulation) — only for callers already in
-    a bf16-stream policy."""
+    a bf16-stream policy. The accumulator is slot-PACKED (8 rows per
+    128-lane row; see `packed_scatter`)."""
+    d = k if transpose else m
+    dw, nslot = slot_geom(d)
     to_pad = tpad(n_rows + 1)
     out = _run_stream(
         left_pad, right_pad, dst,
         chunk=plan["chunk"], m=m, k=k, lw=left_pad.shape[1],
-        rw=right_pad.shape[1], to_pad=to_pad, tb=min(TB, to_pad),
+        rw=right_pad.shape[1], npo=to_pad // nslot, dw=dw, nslot=nslot,
         n_chunks=plan["n_chunks"], transpose=transpose,
         bf16_reduce=bf16_reduce)
     return out[:n_rows]

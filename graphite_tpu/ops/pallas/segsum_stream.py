@@ -511,8 +511,8 @@ def streaming_segment_product_sum(left: jax.Array, right: jax.Array,
 def _kernel_mv_tbl(starts_ref, nflush_ref, bases_ref, left_ref, xtab_ref,
                    idx_ref, seg_ref, out_ref, acc_ref, sem, *, chunk,
                    w_pad, f, a, n_chunks, m, kdim, d, d_pad, lw, xw,
-                   tx_pad, transpose):
-    from .segmv import _expand_mv, onehot_gather
+                   npx, nslot, transpose):
+    from .segmv import _expand_mv, packed_gather
 
     i = pl.program_id(0)
 
@@ -544,13 +544,14 @@ def _kernel_mv_tbl(starts_ref, nflush_ref, bases_ref, left_ref, xtab_ref,
         sub = pl.ds(jax.lax.rem(i, jnp.int32(8)), 1)
         seg_row = seg_ref[sub, :]  # (1, chunk)
         idx_row = idx_ref[sub, :]
-        # in-kernel x gather: one-hot MXU product from the VMEM-resident
-        # x table — replaces the per-matvec XLA row gather (row-bound at
-        # ~11.4 ns/row, tools/r4_bf16_probe.py)
-        right = onehot_gather(idx_row, xtab_ref, tx_pad, chunk)
+        # in-kernel x gather from the slot-PACKED VMEM table — replaces
+        # the per-matvec XLA row gather (row-bound at ~11.4 ns/row,
+        # tools/r4_bf16_probe.py); packing keeps all 128 one-hot output
+        # lanes live (segmv.packed_gather)
+        right = packed_gather(idx_row, xtab_ref, npx, chunk, xw, nslot)
         left = left_ref[:]
-        prod = _expand_mv(left, right.astype(left.dtype), m, kdim, lw, xw,
-                          transpose)
+        prod = _expand_mv(left, right.astype(xtab_ref.dtype), m, kdim,
+                          lw, xw, transpose)
         row = jax.lax.broadcasted_iota(jnp.int32, (w_pad, chunk), 0)
         onehot_t = (seg_row - w0 == row).astype(jnp.float32)
         partial = parts_dot(value_parts(prod), onehot_t,
@@ -568,10 +569,10 @@ def _kernel_mv_tbl(starts_ref, nflush_ref, bases_ref, left_ref, xtab_ref,
     jax.jit, static_argnames=("chunk", "w_pad", "f", "a", "n_chunks",
                               "n_steps", "k_pad", "out_alloc",
                               "num_segments", "m", "kdim", "lw", "xw",
-                              "tx_pad", "transpose"))
+                              "npx", "nslot", "transpose"))
 def _run_mv_tbl(left_pad, xtab, idx_pad, seg_pad, starts, nflush, bases,
                 *, chunk, w_pad, f, a, n_chunks, n_steps, k_pad,
-                out_alloc, num_segments, m, kdim, lw, xw, tx_pad,
+                out_alloc, num_segments, m, kdim, lw, xw, npx, nslot,
                 transpose):
     d = kdim if transpose else m
     d_pad = _round_up(d, 128)
@@ -580,15 +581,15 @@ def _run_mv_tbl(left_pad, xtab, idx_pad, seg_pad, starts, nflush, bases,
     out = pl.pallas_call(
         functools.partial(_kernel_mv_tbl, chunk=chunk, w_pad=w_pad, f=f,
                           a=a, n_chunks=n_chunks, m=m, kdim=kdim, d=d,
-                          d_pad=d_pad, lw=lw, xw=xw, tx_pad=tx_pad,
-                          transpose=transpose),
+                          d_pad=d_pad, lw=lw, xw=xw, npx=npx,
+                          nslot=nslot, transpose=transpose),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(n_steps,),
             in_specs=[
                 pl.BlockSpec((chunk, lw),
                              lambda i, *s: (jnp.minimum(i, last), 0)),
-                pl.BlockSpec((tx_pad, xw), lambda i, *s: (0, 0)),
+                pl.BlockSpec((npx, nslot * xw), lambda i, *s: (0, 0)),
                 pl.BlockSpec((8, chunk),
                              lambda i, *s: (jnp.minimum(i, last) // 8, 0)),
                 pl.BlockSpec((8, chunk),
@@ -618,14 +619,18 @@ def streaming_matvec_tbl(left: jax.Array, xtab: jax.Array, idx_pad,
     left's). ``xtab`` (tx_pad, xw) is the full x row table, VMEM-resident
     in every grid step, with tx_pad a multiple of segmv.TB and all lanes
     >= the live dim zeroed — pad-row gathers and masked rows are pointed
-    at a zero row. ``idx_pad``: (ceil8(n_chunks), chunk) packed int32 x
-    row ids (segmv.pack_chunk_ids). transpose=False computes
-    y[seg] += A x; transpose=True computes y[seg] += A^T x.
+    at a zero row; it is slot-PACKED here (segmv.pack_rows) so the
+    in-kernel gather runs with full one-hot output lanes. ``idx_pad``:
+    (ceil8(n_chunks), chunk) packed int32 x row ids
+    (segmv.pack_chunk_ids). transpose=False computes y[seg] += A x;
+    transpose=True computes y[seg] += A^T x.
 
     Replaces: the per-matvec XLA x-row gathers AND (for the transposed
     direction) the per-solve lane-transposed S copy of the r3 design.
     Reference: the S block matvec of schur.hpp:307-393.
     """
+    from .segmv import pack_rows, slot_geom
+
     k_pad = plan["k_pad"]
     assert left.shape[0] == k_pad, "pass k_pad-padded left rows"
     if seg_pad is None:
@@ -636,13 +641,22 @@ def streaming_matvec_tbl(left: jax.Array, xtab: jax.Array, idx_pad,
         nflush = jnp.asarray(plan["nflush"])
     if bases is None:
         bases = jnp.asarray(plan["bases"])
+    xd = m if transpose else k  # live x row dim
+    dw, nslot = slot_geom(xd)
+    if xtab.shape[1] > dw:  # lanes >= live dim are zero: slicing is safe
+        xtab = xtab[:, :dw]
+    elif xtab.shape[1] < dw:
+        xtab = jnp.concatenate(
+            [xtab, jnp.zeros((xtab.shape[0], dw - xtab.shape[1]),
+                             xtab.dtype)], axis=1)
     return _run_mv_tbl(
-        left, xtab, idx_pad, seg_pad, starts, nflush, bases,
+        left, pack_rows(xtab, nslot), idx_pad, seg_pad, starts, nflush,
+        bases,
         chunk=plan["chunk"], w_pad=plan["w_pad"], f=plan["f"], a=plan["a"],
         n_chunks=plan["n_chunks"], n_steps=plan["n_steps"], k_pad=k_pad,
         out_alloc=plan["out_alloc"], num_segments=plan["num_segments"],
-        m=m, kdim=k, lw=left.shape[1], xw=xtab.shape[1],
-        tx_pad=xtab.shape[0], transpose=transpose)
+        m=m, kdim=k, lw=left.shape[1], xw=dw,
+        npx=xtab.shape[0] // nslot, nslot=nslot, transpose=transpose)
 
 
 def streaming_segment_sum(values: jax.Array, plan: dict, seg_pad=None,
