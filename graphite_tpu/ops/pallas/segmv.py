@@ -131,7 +131,7 @@ def onehot_gather(idx_row, xtab_ref, t_pad: int, chunk: int,
     for t0 in range(0, t_pad, tb):
         rows = jax.lax.broadcasted_iota(jnp.int32, (tb, chunk), 0) + t0
         xt = xtab_ref[pl.ds(t0, tb), :]
-        oh = (rows == idx_row).astype(jnp.float32)
+        oh = (rows == idx_row).astype(jnp.bfloat16)
         part = exact_dot(oh, xt, (((0,), (0,)), ((), ())),
                          onehot_left=True)
         out = part if out is None else out + part
@@ -139,31 +139,34 @@ def onehot_gather(idx_row, xtab_ref, t_pad: int, chunk: int,
 
 
 def _expand_mv(left, right, m: int, k: int, lw: int, xw: int,
-               transpose: bool):
+               transpose: bool, off: int = 0):
     """Flat block matvec via expansion one-hots (no data relayout).
 
-    forward: prod[c, a] = sum_b left[c, a*k+b] * right[c, b]
-    transpose: prod[c, cc] = sum_r left[c, r*k+cc] * right[c, r]
-    Dead lanes: forward excluded by G (j//k >= m never matches an output
-    column); transpose excluded because right lanes >= m are zero (the x
-    tables / wide rows are zero-padded)."""
-    j_row = jax.lax.broadcasted_iota(jnp.int32, (xw, lw), 1)
+    forward: prod[c, a] = sum_b left[c, off + a*k+b] * right[c, b]
+    transpose: prod[c, cc] = sum_r left[c, off + r*k+cc] * right[c, r]
+    ``off`` selects an unaligned lane window of ``left`` (e.g. one
+    arity slot of a multi-slot flat row) WITHOUT a Mosaic lane slice —
+    the window is encoded in the expansion one-hots. Dead lanes outside
+    [off, off + m*k) are excluded by the in-window iota mask."""
+    j_row = jax.lax.broadcasted_iota(jnp.int32, (xw, lw), 1) - off
     r_row = jax.lax.broadcasted_iota(jnp.int32, (xw, lw), 0)
+    inw_r = (j_row >= 0) & (j_row < m * k)
     if transpose:
-        T = (r_row == j_row // k).astype(jnp.float32)
+        T = ((r_row == j_row // k) & inw_r).astype(jnp.bfloat16)
         d = k
     else:
-        T = (r_row == j_row % k).astype(jnp.float32)
+        T = ((r_row == j_row % k) & inw_r).astype(jnp.bfloat16)
         d = m
     x_tiled = exact_dot(T, right, (((1,), (0,)), ((), ())),
                         onehot_left=False)
     term = left.astype(jnp.float32) * x_tiled
-    j_col = jax.lax.broadcasted_iota(jnp.int32, (lw, d), 0)
+    j_col = jax.lax.broadcasted_iota(jnp.int32, (lw, d), 0) - off
     o_col = jax.lax.broadcasted_iota(jnp.int32, (lw, d), 1)
+    inw_c = (j_col >= 0) & (j_col < m * k)
     if transpose:
-        G = (j_col % k == o_col).astype(jnp.float32)
+        G = ((j_col % k == o_col) & inw_c).astype(jnp.bfloat16)
     else:
-        G = (j_col // k == o_col).astype(jnp.float32)
+        G = ((j_col // k == o_col) & inw_c).astype(jnp.bfloat16)
     # the G contraction SUMS f32 terms: split term (3 bf16 passes, f32
     # accumulate) ≡ HIGHEST quality at half the passes
     return exact_dot(G, term, (((1,), (0,)), ((), ())),
@@ -217,9 +220,9 @@ def plan_block_matvec(K: int, chunk: int = 1024) -> dict:
 
 
 def slot_geom(d: int):
-    """Slot width / count for 8-row lane packing: d values live in a
+    """Slot width / count for row lane-packing: d values live in a
     dw-lane slot, nslot = 128/dw slots per 128-lane packed row."""
-    dw = next(w for w in (16, 32, 64, 128) if d <= w)
+    dw = next(w for w in (8, 16, 32, 64, 128) if d <= w)
     return dw, 128 // dw
 
 
@@ -258,14 +261,14 @@ def packed_gather(idx_row, ptab_ref, np_rows: int, chunk: int, dw: int,
     for t0 in range(0, np_rows, tb):
         nrow = min(tb, np_rows - t0)
         rows = jax.lax.broadcasted_iota(jnp.int32, (nrow, chunk), 0) + t0
-        oh = (rows == prow).astype(jnp.float32)
+        oh = (rows == prow).astype(jnp.bfloat16)
         part = exact_dot(oh, ptab_ref[pl.ds(t0, nrow), :],
                          (((0,), (0,)), ((), ())), onehot_left=True)
         acc = part if acc is None else acc + part
     sel = acc * _slot_mask(idx_row, dw, nslot, chunk)
     f_l = jax.lax.broadcasted_iota(jnp.int32, (128, dw), 0)
     f_j = jax.lax.broadcasted_iota(jnp.int32, (128, dw), 1)
-    F = (f_l % dw == f_j).astype(jnp.float32)
+    F = (f_l % dw == f_j).astype(jnp.bfloat16)
     # fold sums one nonzero slot + zeros per row: exact copy via split
     return exact_dot(F, sel, (((1,), (0,)), ((), ())), onehot_left=False)
 
@@ -279,7 +282,7 @@ def packed_scatter(prod, dst_row, out_ref, np_rows: int, chunk: int,
     (~8x fewer effective MACs than the unpacked `_scatter_table`)."""
     t_j = jax.lax.broadcasted_iota(jnp.int32, (d, 128), 0)
     t_l = jax.lax.broadcasted_iota(jnp.int32, (d, 128), 1)
-    T2 = (t_l % dw == t_j).astype(jnp.float32)
+    T2 = (t_l % dw == t_j).astype(jnp.bfloat16)
     prod_t = exact_dot(T2, prod, (((1,), (0,)), ((), ())),
                        onehot_left=False)
     pexp = prod_t * _slot_mask(dst_row, dw, nslot, chunk)
@@ -290,27 +293,11 @@ def packed_scatter(prod, dst_row, out_ref, np_rows: int, chunk: int,
     for t0 in range(0, np_rows, tb):
         nrow = min(tb, np_rows - t0)
         rows = jax.lax.broadcasted_iota(jnp.int32, (nrow, chunk), 0) + t0
-        oh = (rows == prow).astype(jnp.float32)
+        oh = (rows == prow).astype(jnp.bfloat16)
         contr = parts_dot(pparts, oh, (((1,), (0,)), ((), ())),
                           onehot_left=True)
         cur = out_ref[pl.ds(t0, nrow), :]
         out_ref[pl.ds(t0, nrow), :] = cur + contr
-
-
-def _scatter_table(parts, dst, to_pad: int, tb: int, chunk: int, d: int,
-                   d_pad: int, out_ref):
-    """Accumulate value_parts rows into a VMEM table at UNSORTED ids:
-    out[dst[c]] += val[c] via tb-blocked transposed one-hot dots."""
-    for t0 in range(0, to_pad, tb):
-        rows = jax.lax.broadcasted_iota(jnp.int32, (tb, chunk), 0) + t0
-        oh = (rows == dst).astype(jnp.float32)
-        contr = parts_dot(parts, oh, (((1,), (0,)), ((), ())),
-                          onehot_left=True)
-        if d_pad != d:
-            contr = jnp.concatenate(
-                [contr, jnp.zeros((tb, d_pad - d), contr.dtype)], axis=1)
-        cur = out_ref[pl.ds(t0, tb), :]
-        out_ref[pl.ds(t0, tb), :] = cur + contr
 
 
 def _kernel_sym(left_ref, xc_ref, xr_ref, cid_ref, rid_ref, rxi_ref,

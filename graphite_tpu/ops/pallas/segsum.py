@@ -81,7 +81,7 @@ def _kernel(starts_ref, vals_ref, seg_ref, out_ref, *, chunk, window,
     row = jax.lax.broadcasted_iota(jnp.int32, (window, chunk), 0)
     # exact 0/1 one-hot: split only the value side (segmv.parts_dot) —
     # 3 single-pass bf16 dots ≈ HIGHEST quality at half the MXU passes
-    onehot_t = (seg_row - w0 == row).astype(jnp.float32)
+    onehot_t = (seg_row - w0 == row).astype(jnp.bfloat16)
     from .segmv import parts_dot, value_parts
     partial = parts_dot(value_parts(vals_ref[:]), onehot_t,
                         (((1,), (0,)), ((), ())), onehot_left=True)

@@ -33,7 +33,28 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .segmv import exact_dot, parts_dot, value_parts
+from .segmv import TB, exact_dot, parts_dot, value_parts
+
+
+def _window_reduce(parts, seg_row, w0, w_pad, chunk, d, d_pad, acc_ref,
+                   slot, tb: int = TB):
+    """acc[slot + t] += sum_c [seg[c] - w0 == t] * val[c] — the windowed
+    destination reduce, TB-BLOCKED so the (rows, chunk) one-hot temporary
+    is bounded at (tb, chunk) for ANY window width (a near-1:1 segment
+    map makes w_pad ~ chunk, and a full (w_pad, chunk) one-hot blows the
+    16 MB scoped-VMEM limit at Venice-Final scale)."""
+    for t0 in range(0, w_pad, tb):
+        nrow = min(tb, w_pad - t0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (nrow, chunk), 0) + t0
+        oh = (seg_row - w0 == rows).astype(jnp.bfloat16)
+        contr = parts_dot(parts, oh, (((1,), (0,)), ((), ())),
+                          onehot_left=True)
+        if d_pad != d:
+            contr = jnp.concatenate(
+                [contr, jnp.zeros((nrow, d_pad - d), contr.dtype)],
+                axis=1)
+        cur = acc_ref[pl.ds(slot + t0, nrow), :]
+        acc_ref[pl.ds(slot + t0, nrow), :] = cur + contr
 
 
 def _round_up(x: int, m: int) -> int:
@@ -160,20 +181,12 @@ def _kernel(starts_ref, nflush_ref, bases_ref, vals_ref, seg_ref, out_ref,
         # broadcasting against a sublane iota — no in-kernel
         # lane->sublane transpose
         seg_row = seg_ref[pl.ds(jax.lax.rem(i, jnp.int32(8)), 1), :]  # (1, chunk)
-        row = jax.lax.broadcasted_iota(jnp.int32, (w_pad, chunk), 0)
-        onehot_t = (seg_row - w0 == row).astype(jnp.float32)
         # one-hot side is exactly bf16-representable -> split only the
         # value side (segmv.parts_dot): 3 single-pass bf16 dots ≈ HIGHEST
         # quality at half the MXU passes (1 pass for bf16 streams)
-        partial = parts_dot(value_parts(vals_ref[:]), onehot_t,
-                            (((1,), (0,)), ((), ())), onehot_left=True)
-        if d_pad != d:  # DMA lanes are 128-aligned; values are not
-            partial = jnp.concatenate(
-                [partial, jnp.zeros((w_pad, d_pad - d), partial.dtype)],
-                axis=1)
         slot = w0 - base  # sublane-aligned: w0 and base are 8-multiples
-        cur = acc_ref[pl.ds(slot, w_pad), :]
-        acc_ref[pl.ds(slot, w_pad), :] = cur + partial.astype(acc_ref.dtype)
+        _window_reduce(value_parts(vals_ref[:]), seg_row, w0, w_pad,
+                       chunk, d, d_pad, acc_ref, slot)
 
 
 @functools.partial(
@@ -286,36 +299,9 @@ def plan_streaming_segsum_common(seg_slices, ns_list, chunk: int = 2048,
     return plans, geometry
 
 
-def _expansion_onehots(m: int, kdim: int, n: int):
-    """Static 0/1 expansion matrices for the in-kernel flat block product
-    A(m,k) @ B(n,k)^T computed as ``sum_b (L @ P) * (R @ Q)`` slices.
-
-    P: (m*k, k*m*n) with P[a*k+b, b*d + a*n + dd] = 1 (d = m*n) — L @ P
-    replicates L's column (a,b) into every dd; Q: (n*k, k*m*n) with
-    Q[dd*k+b, b*d + a*n + dd] = 1. Then
-    prod[:, a*n+dd] = sum_b (L@P * R@Q)[:, b*d + a*n + dd]. Every output
-    element of the expansion matmuls is a pure copy (exactly one 1 per
-    column), and the elementwise multiply/sum runs in f32 — exact fp32
-    semantics at HIGHEST matmul precision, matching flat_block_mm_nt.
-
-    Built from traced iota comparisons (Mosaic-friendly: no vector
-    constants inside the kernel).
-    """
-    d = m * n
-    row_l = jax.lax.broadcasted_iota(jnp.int32, (m * kdim, kdim * d), 0)
-    row_r = jax.lax.broadcasted_iota(jnp.int32, (n * kdim, kdim * d), 0)
-    col_l = jax.lax.broadcasted_iota(jnp.int32, (m * kdim, kdim * d), 1)
-    col_r = jax.lax.broadcasted_iota(jnp.int32, (n * kdim, kdim * d), 1)
-    b_l, pos_l = col_l // d, col_l % d
-    b_r, pos_r = col_r // d, col_r % d
-    P = (row_l == (pos_l // n) * kdim + b_l).astype(jnp.float32)
-    Q = (row_r == (pos_r % n) * kdim + b_r).astype(jnp.float32)
-    return P, Q
-
-
 def _expansion_onehots_slice(m: int, kdim: int, n: int, b: int,
                              lw: int | None = None, rw: int | None = None):
-    """One contraction slice of `_expansion_onehots`: P_b (lw, m*n) with
+    """Expansion-one-hot contraction slice: P_b (lw, m*n) with
     P_b[a*k+b, a*n+dd] = 1 and Q_b (rw, m*n) with Q_b[dd*k+b, a*n+dd] = 1,
     so prod = sum_b (L @ P_b) * (R @ Q_b). Slicing keeps the kernel's
     VMEM temporaries at (chunk, m*n) instead of (chunk, k*m*n) — the
@@ -333,8 +319,8 @@ def _expansion_onehots_slice(m: int, kdim: int, n: int, b: int,
     row_r = jax.lax.broadcasted_iota(jnp.int32, (rw, d), 0)
     col_l = jax.lax.broadcasted_iota(jnp.int32, (lw, d), 1)
     col_r = jax.lax.broadcasted_iota(jnp.int32, (rw, d), 1)
-    P = (row_l == (col_l // n) * kdim + b).astype(jnp.float32)
-    Q = (row_r == (col_r % n) * kdim + b).astype(jnp.float32)
+    P = (row_l == (col_l // n) * kdim + b).astype(jnp.bfloat16)
+    Q = (row_r == (col_r % n) * kdim + b).astype(jnp.bfloat16)
     return P, Q
 
 
@@ -389,12 +375,12 @@ def _kernel_prod(starts_ref, nflush_ref, bases_ref, left_ref, right_ref,
             # an explicit mask.
             row_t = jax.lax.broadcasted_iota(jnp.int32, (rw, lw), 0)
             col_t = jax.lax.broadcasted_iota(jnp.int32, (rw, lw), 1)
-            T = (row_t == col_t % kdim).astype(jnp.float32)
+            T = (row_t == col_t % kdim).astype(jnp.bfloat16)
             x_tiled = exact_dot(T, right, (((1,), (0,)), ((), ())),
                                 onehot_left=False)
             row_g = jax.lax.broadcasted_iota(jnp.int32, (lw, d), 0)
             col_g = jax.lax.broadcasted_iota(jnp.int32, (lw, d), 1)
-            G = (row_g // kdim == col_g).astype(jnp.float32)
+            G = (row_g // kdim == col_g).astype(jnp.bfloat16)
             prod = exact_dot(
                 G, left.astype(jnp.float32) * x_tiled,
                 (((1,), (0,)), ((), ())), onehot_left=False)
@@ -415,17 +401,9 @@ def _kernel_prod(starts_ref, nflush_ref, bases_ref, left_ref, right_ref,
             term = lexp * rexp
             prod = term if prod is None else prod + term
 
-        row = jax.lax.broadcasted_iota(jnp.int32, (w_pad, chunk), 0)
-        onehot_t = (seg_row - w0 == row).astype(jnp.float32)
-        partial = parts_dot(value_parts(prod), onehot_t,
-                            (((1,), (0,)), ((), ())), onehot_left=True)
-        if d_pad != d:
-            partial = jnp.concatenate(
-                [partial, jnp.zeros((w_pad, d_pad - d), partial.dtype)],
-                axis=1)
         slot = w0 - base
-        cur = acc_ref[pl.ds(slot, w_pad), :]
-        acc_ref[pl.ds(slot, w_pad), :] = cur + partial.astype(acc_ref.dtype)
+        _window_reduce(value_parts(prod), seg_row, w0, w_pad, chunk,
+                       d, d_pad, acc_ref, slot)
 
 
 @functools.partial(
@@ -552,17 +530,9 @@ def _kernel_mv_tbl(starts_ref, nflush_ref, bases_ref, left_ref, xtab_ref,
         left = left_ref[:]
         prod = _expand_mv(left, right.astype(xtab_ref.dtype), m, kdim,
                           lw, xw, transpose)
-        row = jax.lax.broadcasted_iota(jnp.int32, (w_pad, chunk), 0)
-        onehot_t = (seg_row - w0 == row).astype(jnp.float32)
-        partial = parts_dot(value_parts(prod), onehot_t,
-                            (((1,), (0,)), ((), ())), onehot_left=True)
-        if d_pad != d:
-            partial = jnp.concatenate(
-                [partial, jnp.zeros((w_pad, d_pad - d), partial.dtype)],
-                axis=1)
         slot = w0 - base
-        cur = acc_ref[pl.ds(slot, w_pad), :]
-        acc_ref[pl.ds(slot, w_pad), :] = cur + partial.astype(acc_ref.dtype)
+        _window_reduce(value_parts(prod), seg_row, w0, w_pad, chunk,
+                       d, d_pad, acc_ref, slot)
 
 
 @functools.partial(
