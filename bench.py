@@ -262,22 +262,40 @@ def main():
     lin0 = jax.jit(lambda p: linearize(problem, p))(params)
     hv0 = jax.jit(lambda l: compute_hessian_values(problem, hs, l))(lin0)
 
+    def _fence(acc, *trees):
+        # loop-variance WITHOUT perturbation traffic: tying the invariant
+        # stage inputs to the carry through an optimization_barrier makes
+        # them loop-variant for LICM at zero data-movement cost (the old
+        # `v + acc * 1e-30` perturbation added a full elementwise pass
+        # over the big block arrays — ~40-80 ms at Venice-Final)
+        out = jax.lax.optimization_barrier((acc, *trees))
+        return out[0], *out[1:]
+
     def lin_body(i, acc, params):
-        p = {k: v + acc * 1e-30 for k, v in params.items()}
+        acc, p = _fence(acc, params)
         return acc + linearize(problem, p).chi2 * 1e-30
 
     def hess_body(i, acc, lin0):
-        import dataclasses
-        lin = dataclasses.replace(
-            lin0, chi2_deriv={k: v + acc * 1e-30
-                              for k, v in lin0.chi2_deriv.items()})
+        acc, lin = _fence(acc, lin0)
         hv = compute_hessian_values(problem, hs, lin)
         return acc + jnp.sum(next(iter(hv.values()))[0]) * 1e-30
 
     def schur_body(i, acc, hv0):
-        hv = {k: v + acc * 1e-30 for k, v in hv0.items()}
+        acc, hv = _fence(acc, hv0)
         sv = schur_values(problem, ss, hv)
         return acc + jnp.sum(next(iter(sv.s_vals.values()))[0]) * 1e-30
+
+    def chi2_body(i, acc, params):
+        from graphite_tpu.linearize import compute_chi2
+        acc, p = _fence(acc, params)
+        return acc + compute_chi2(problem, p) * 1e-30
+
+    def damping_body(i, acc, hv0, diag):
+        from graphite_tpu.hessian import apply_damping
+        acc, hv, dg = _fence(acc, hv0, diag)
+        hd = apply_damping(problem, hs, hv, dg,
+                           jnp.asarray(1e-4, jnp.float32), False)
+        return acc + jnp.sum(next(iter(hd.values()))[0]) * 1e-30
 
     def solve_body(i, acc, lin0, hv0, params):
         import dataclasses
@@ -354,8 +372,10 @@ def main():
     byt = perf.bytes_ledger(problem, pcg_iters=solver.max_iter)
     probes = [
         ("linearize", lin_body, None, None, (params,)),
+        ("chi2_only", chi2_body, None, None, (params,)),
         ("hessian_values", hess_body, led.get("hessian_values"), None,
          (lin0,)),
+        ("apply_damping", damping_body, None, None, (hv0, lin0.diag)),
         ("schur_values", schur_body, schur_flops, byt.get("schur_values"),
          (hv0,)),
     ]

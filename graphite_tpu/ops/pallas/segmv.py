@@ -420,3 +420,120 @@ def block_matvec_stream(left_pad, right_pad, plan, dst, m: int, k: int,
         n_chunks=plan["n_chunks"], transpose=transpose,
         bf16_reduce=bf16_reduce)
     return out[:n_rows]
+
+
+def _kernel_wtbl(wblk_ref, left_ref, wt0_ref, wt1_ref, dst_ref, lid_ref,
+                 out_ref, *, chunk, m, k, lw, dw, nslot, wbp, npo,
+                 bf16_reduce):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    sub = pl.ds(jax.lax.rem(i, jnp.int32(8)), 1)
+    dst = dst_ref[sub, :]
+    lid = lid_ref[sub, :]
+    # the two adjacent packed table blocks cover this chunk's whole
+    # non-decreasing id window; rebase ids to the window
+    lloc = lid - wblk_ref[i] * jnp.int32(wbp * nslot)
+    ww = jnp.concatenate([wt0_ref[:], wt1_ref[:]], axis=0)
+    # ids outside [0, 2*wbp*nslot) (masked/pad rows) match no one-hot row
+    from .pcg_mf import _gather_v
+
+    xg = _gather_v(lloc, ww, 2 * wbp, chunk, dw, nslot)
+    left = left_ref[:]
+    prod = _expand_mv(left, xg.astype(ww.dtype), m, k, lw, dw,
+                      transpose=False)
+    packed_scatter(prod, dst, out_ref, npo, chunk, m,
+                   *slot_geom(m), bf16_reduce=bf16_reduce)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "m", "k", "lw", "dw", "nslot",
+                              "wbp", "npo", "n_chunks", "bf16_reduce"))
+def _run_wtbl(left_pad, wtab_p, wblk, dst, lid, *, chunk, m, k, lw, dw,
+              nslot, wbp, npo, n_chunks, bf16_reduce):
+    from jax.experimental.pallas import tpu as pltpu
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_wtbl, chunk=chunk, m=m, k=k, lw=lw, dw=dw,
+            nslot=nslot, wbp=wbp, npo=npo, bf16_reduce=bf16_reduce),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_chunks,),
+            in_specs=[
+                pl.BlockSpec((chunk, lw), lambda i, wb: (i, 0)),
+                pl.BlockSpec((wbp, 128), lambda i, wb: (wb[i], 0)),
+                pl.BlockSpec((wbp, 128), lambda i, wb: (wb[i] + 1, 0)),
+                pl.BlockSpec((8, chunk), lambda i, wb: (i // 8, 0)),
+                pl.BlockSpec((8, chunk), lambda i, wb: (i // 8, 0)),
+            ],
+            out_specs=pl.BlockSpec((npo, 128), lambda i, wb: (0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((npo, 128), jnp.float32),
+    )(wblk, left_pad, wtab_p, wtab_p, dst, lid)
+    dwo, _ = slot_geom(m)
+    return out.reshape(-1, dwo)[:, :m]
+
+
+def plan_matvec_wtbl(lrow: np.ndarray, n_rows: int, K: int,
+                     chunk: int = 1024, wbp: int = 64) -> dict | None:
+    """Host plan for the WINDOWED-table block matvec: per-chunk packed
+    table block index, or None when some chunk's id window exceeds the
+    two-block coverage (ids must be non-decreasing)."""
+    d_probe, nslot = 8, 16  # dl <= 8 tables (slot_geom(dl))
+    lg = wbp * nslot  # logical rows per packed table block
+    k_pad = max(_round_up(K, chunk), chunk)
+    lr = np.concatenate([lrow.astype(np.int64),
+                         np.full(k_pad - K, n_rows, np.int64)])
+    n_chunks = k_pad // chunk
+    first = lr[::chunk]
+    last = np.maximum(lr[chunk - 1::chunk], first)  # pad rows -> n_rows
+    wblk = first // lg
+    # pad-row ids (n_rows) may exceed the live window: they match no
+    # one-hot row, so only LIVE ids constrain coverage
+    live_last = np.array([
+        lr[i * chunk:(i + 1) * chunk][lr[i * chunk:(i + 1) * chunk]
+                                      < n_rows].max(initial=0)
+        for i in range(n_chunks)])
+    if np.any(live_last >= (wblk + 2) * lg):
+        return None
+    # the packed table must cover every live id window AND the zero/fill
+    # row n_rows (dynamic_update_slice needs n_rows <= table rows)
+    n_tab = max(int(wblk.max()) + 2 if n_chunks else 2,
+                -(-(n_rows + 1) // lg))
+    return dict(K=K, k_pad=k_pad, chunk=chunk, n_chunks=n_chunks,
+                wbp=wbp, lg=lg, wblk=wblk.astype(np.int32),
+                n_tab_blocks=n_tab)
+
+
+def block_matvec_wtbl(left_pad, w_rows, plan, dst, lid, m: int, k: int,
+                      n_out: int, bf16_reduce: bool = False):
+    """y[dst] += A_i @ w[lid_i] with NON-DECREASING lid served from a
+    rolling two-block window of the slot-packed w table — the w rows are
+    never expanded to a K-row stream (the repeat-expansion alternative
+    writes+reads a (K, dl) 128-lane-padded buffer: ~5 GB at
+    Venice-Final). ``w_rows``: (n_rows, k) solve-table rows; ``lid``:
+    packed (8-row, chunk) ABSOLUTE row ids (fill = n_rows); ``dst``:
+    packed pose row ids (fill = trash). Returns (n_out, m) f32.
+
+    Reference parity: the b_schur product schur.hpp:886-920."""
+    dw, nslot = slot_geom(k)
+    assert dw == 8 and nslot == 16, "wtbl plans assume dl <= 8 tables"
+    n_rows = w_rows.shape[0]
+    lg = plan["lg"]
+    t_rows = plan["n_tab_blocks"] * lg
+    tab = jnp.zeros((t_rows, dw), w_rows.dtype)
+    tab = jax.lax.dynamic_update_slice(
+        tab, w_rows.astype(w_rows.dtype), (0, 0))
+    wtab_p = pack_rows(tab, nslot)
+    dwo, nso = slot_geom(m)
+    npo = tpad(n_out + 1) // nso
+    out = _run_wtbl(
+        left_pad, wtab_p, jnp.asarray(plan["wblk"]), dst, lid,
+        chunk=plan["chunk"], m=m, k=k, lw=left_pad.shape[1], dw=dw,
+        nslot=nslot, wbp=plan["wbp"], npo=npo,
+        n_chunks=plan["n_chunks"], bf16_reduce=bf16_reduce)
+    return out[:n_out]

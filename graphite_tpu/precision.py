@@ -103,20 +103,22 @@ class Precision:
         These copies are pure bandwidth: the kernels upcast to f32 on
         load and accumulate in f32, so storing them in bf16 halves the
         dominant HBM traffic of the two stages that bound Venice-Final
-        throughput (BENCHMARKS.md r3 stage table) at a ~2^-8 relative
-        rounding of the *operands* only. Default: bf16 whenever the
-        solver dtype is already low-precision (the user accepted
-        low-precision storage; the reference exposes the same trade,
-        examples/bal.cu:311-314), full ``inv_dtype`` otherwise.
-        ``GRAPHITE_TPU_STREAM_DTYPE`` in {bf16, f32} overrides — e.g.
-        bf16 streams under an otherwise-f32 policy.
+        throughput (BENCHMARKS.md stage tables) at a ~2^-8 relative
+        rounding of the *operands* only — NOT of the S values, solves,
+        or accumulations, which all stay in ``inv_dtype``. Default
+        (round 4): bf16 for every f32 policy — measured at Venice-Final:
+        +10%% end-to-end (0.70 -> 0.77 it/s) with the 10-iteration chi2
+        trajectory within 0.2%% of pure-f32 (BENCHMARKS.md r4; the
+        reference exposes the same storage trade, examples/bal.cu:311-314).
+        ``GRAPHITE_TPU_STREAM_DTYPE`` in {bf16, f32} overrides — f32
+        restores bit-faithful transport for ill-conditioned problems.
         """
         import os
 
         override = os.environ.get("GRAPHITE_TPU_STREAM_DTYPE")
         if override:
             return {"bf16": jnp.bfloat16, "f32": jnp.float32}[override]
-        if is_low_precision(self.solver_dtype):
+        if jnp.dtype(self.inv_dtype) == jnp.dtype(jnp.float32):
             return jnp.bfloat16
         return self.inv_dtype
 

@@ -1217,6 +1217,49 @@ def _plan_bschur_fused(problem, ck, K, prow, n_pt, dp, dl, dtype):
     return site
 
 
+def _plan_bschur_wtbl(problem, ck, K, prow, lrow, n_pt, n_lt, dp, dl,
+                      dtype):
+    """b_schur site with a rolling two-block WINDOW of the w solve table
+    (ops/pallas/segmv.block_matvec_wtbl), or None.
+
+    The fused w_exp path repeat-expands the (n_lm, dl) solve table to a
+    (K, dl) stream whose 128-lane physical padding costs ~5 GB of HBM
+    traffic at Venice-Final; the CSC-sorted landmark ids make each chunk
+    touch a bounded id window, so the kernel reads the table rows
+    directly (schur.hpp:886-920 parity)."""
+    if (os.environ.get("GRAPHITE_TPU_NO_SMV_TBL")
+            or os.environ.get("GRAPHITE_TPU_NO_BSCHUR_WTBL")):
+        return None
+    if not _use_pallas(problem, dtype):
+        return None
+    from .ops.pallas.segmv import (
+        TABLE_ROWS_LIMIT,
+        pack_chunk_ids,
+        plan_matvec_wtbl,
+        slot_geom,
+        tpad,
+    )
+
+    cache = problem._cache.setdefault("bschur_wtbl_sites", {})
+    if ck in cache:
+        return cache[ck]
+    site = None
+    row_bytes = (dp * dl + dp + dl) * 4
+    if (K > _smv_chunk_rows(row_bytes)
+            and tpad(n_pt + 1) <= TABLE_ROWS_LIMIT
+            and slot_geom(dl) == (8, 16)):
+        plan = plan_matvec_wtbl(lrow.astype(np.int64), n_lt, K)
+        if plan is not None:
+            kp, chunk = plan["k_pad"], plan["chunk"]
+            site = dict(
+                plan=plan,
+                dst=pack_chunk_ids(prow, kp, chunk, fill=n_pt),
+                lid=pack_chunk_ids(lrow, kp, chunk, fill=n_lt),
+            )
+    cache[ck] = site
+    return site
+
+
 class SchurOps:
     """Bundles static structure with one set of (damped) H values.
 
@@ -1437,6 +1480,36 @@ class SchurOps:
                             ).astype(np.int32)
                         bcache[ck] = (is_sorted, counts)
                     is_sorted, counts_np = bcache[ck]
+
+                    wtbl = None
+                    if is_sorted:
+                        wtbl = _plan_bschur_wtbl(
+                            problem, ck, K, prow[lsel], lrow,
+                            problem.seg_rows[pt], problem.seg_rows[lt],
+                            dp, dl, Hpl.dtype)
+                    if wtbl is not None:
+                        # ONE Pallas pass reading w rows straight from a
+                        # rolling two-block window of the packed solve
+                        # table — no (K, dl) repeat-expanded stream (its
+                        # 128-lane physical padding costs ~5 GB at
+                        # Venice-Final)
+                        from .ops.pallas.segmv import block_matvec_wtbl
+
+                        sdt = jnp.dtype(problem.precision.stream_dtype)
+                        k_pad = wtbl["plan"]["k_pad"]
+                        Hpad = jnp.zeros((k_pad, dp * dl), sdt)
+                        Hpad = jax.lax.dynamic_update_slice(
+                            Hpad, Hsub_flat.astype(sdt), (0, 0))
+                        acc = block_matvec_wtbl(
+                            Hpad, w[lt].astype(sdt), wtbl["plan"],
+                            problem.const(ck + ("wdst",), wtbl["dst"]),
+                            problem.const(ck + ("wlid",), wtbl["lid"]),
+                            dp, dl, problem.seg_rows[pt],
+                            bf16_reduce=(sdt == jnp.bfloat16),
+                        ).astype(gdt)
+                        prev = out_rows.get(pt)
+                        out_rows[pt] = acc if prev is None else prev + acc
+                        continue
 
                     fused = None
                     if is_sorted and K * dl * 4 <= W_EXPAND_BYTES:

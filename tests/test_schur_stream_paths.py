@@ -34,6 +34,10 @@ from graphite_tpu.schur import SchurOps, build_schur_structure, schur_values
 def _force_stream(monkeypatch):
     import graphite_tpu.ops.pallas.segmv as segmv_mod
 
+    # these are PATH-equivalence tests at 1e-5 tolerance: pin f32 stream
+    # transport (the round-4 default is bf16; precision is tested
+    # separately by the *_bf16_storage oracles)
+    monkeypatch.setenv("GRAPHITE_TPU_STREAM_DTYPE", "f32")
     interp = functools.partial(jax.experimental.pallas.pallas_call,
                                interpret=True)
     monkeypatch.setattr(ss_mod.pl, "pallas_call", interp)
@@ -192,17 +196,24 @@ def test_pcg_schur_solve_with_streaming_matvec(_force_stream, monkeypatch):
                                rtol=1e-4, atol=1e-4)
 
 
-def test_b_schur_fused_matches_fallback(_force_stream, monkeypatch):
-    """The fused b_schur pass (Hpl stream x expanded-w stream ->
-    few-segment VMEM one-hot reduce, ops/pallas/segmv.block_matvec_stream)
-    ≡ the lax.map + segment_sum fallback (schur.hpp:886-920)."""
+@pytest.mark.parametrize("variant", ["wtbl", "fused"])
+def test_b_schur_fused_matches_fallback(_force_stream, monkeypatch,
+                                        variant):
+    """The fused b_schur passes — windowed-w-table kernel (default,
+    ops/pallas/segmv.block_matvec_wtbl) and the expanded-w-stream kernel
+    (GRAPHITE_TPU_NO_BSCHUR_WTBL, block_matvec_stream) — ≡ the lax.map +
+    segment_sum fallback (schur.hpp:886-920)."""
+    if variant == "fused":
+        monkeypatch.setenv("GRAPHITE_TPU_NO_BSCHUR_WTBL", "1")
     monkeypatch.setattr(schur_mod, "_smv_chunk_rows", lambda rb: 4)
     problem, lin, hs, ss, hv, sv = _setup()
     ops = SchurOps(problem, ss, hv, sv)
     b_s = np.asarray(ops.b_schur(lin.b))
-    sites = problem._cache.get("bschur_fused_sites", {})
+    cache_name = ("bschur_wtbl_sites" if variant == "wtbl"
+                  else "bschur_fused_sites")
+    sites = problem._cache.get(cache_name, {})
     assert any(v is not None for v in sites.values()), (
-        "fused b_schur site did not engage")
+        f"{variant} b_schur site did not engage")
 
     monkeypatch.setenv("GRAPHITE_TPU_NO_SMV_TBL", "1")
     problem2, lin2, hs2, ss2, hv2, sv2 = _setup()
@@ -211,6 +222,9 @@ def test_b_schur_fused_matches_fallback(_force_stream, monkeypatch):
     assert not any(
         v is not None
         for v in problem2._cache.get("bschur_fused_sites", {}).values())
+    assert not any(
+        v is not None
+        for v in problem2._cache.get("bschur_wtbl_sites", {}).values())
     np.testing.assert_allclose(b_s, b_s2, rtol=1e-5, atol=1e-4)
 
 

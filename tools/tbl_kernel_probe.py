@@ -144,6 +144,42 @@ def main():
               f"K={K} relerr={err:.2e}  {ms:7.2f} ms", flush=True)
         assert err < (3e-2 if bf16r else 1e-4), err
 
+        # b_schur with the rolling-window w table (no expanded stream)
+        from graphite_tpu.ops.pallas.segmv import (
+            block_matvec_wtbl,
+            plan_matvec_wtbl,
+        )
+
+        n_lm = 200_000
+        lrow_w = np.sort(rng.integers(0, n_lm, size=K)).astype(np.int32)
+        wplan = plan_matvec_wtbl(lrow_w.astype(np.int64), n_lm, K)
+        assert wplan is not None, "wtbl plan infeasible at probe shapes"
+        kpw, chw = wplan["k_pad"], wplan["chunk"]
+        hw = jnp.zeros((kpw, dp * dl), sdt)
+        hw = jax.lax.dynamic_update_slice(hw, hb.astype(sdt), (0, 0))
+        wrows = jnp.asarray(
+            rng.standard_normal((n_lm, dl)).astype(np.float32)).astype(sdt)
+        dst_w = jnp.asarray(pack_chunk_ids(dst, kpw, chw, fill=NS))
+        lid_w = jnp.asarray(pack_chunk_ids(lrow_w, kpw, chw, fill=n_lm))
+        wblk = jnp.asarray(wplan["wblk"])
+        out = jax.jit(
+            lambda h, wr, d_, l_: block_matvec_wtbl(
+                h, wr, wplan, d_, l_, dp, dl, NS, bf16_reduce=bf16r)
+        )(hw, wrows, dst_w, lid_w)
+        y = flat_block_mv(hb.astype(sdt).astype(jnp.float32),
+                          wrows.astype(jnp.float32)[jnp.asarray(lrow_w)],
+                          dp, dl, acc_dtype=jnp.float32)
+        ref = jax.ops.segment_sum(y, jnp.asarray(dst), num_segments=NS)
+        err = float(jnp.max(jnp.abs(out - ref))
+                    / (1e-6 + jnp.max(jnp.abs(ref))))
+        ms = loop_time(
+            lambda wr, h, d_, l_: block_matvec_wtbl(
+                h, wr, wplan, d_, l_, dp, dl, NS, bf16_reduce=bf16r),
+            wrows, hw, dst_w, lid_w)
+        print(f"bschur_wtbl  {np.dtype(sdt).name:8s}            "
+              f"K={K} relerr={err:.2e}  {ms:7.2f} ms", flush=True)
+        assert err < (3e-2 if bf16r else 1e-4), err
+
         # SYMMETRIC single-pass matvec: one S read, both directions
         from graphite_tpu.ops.pallas.segmv import matvec_sym_stream
 
