@@ -673,10 +673,21 @@ def apply_damping(problem, hs: HessianStructure, values: HessianValues,
         else:
             dnew = d0 + mu * jnp.clip(d0, DIAG_MIN, DIAG_MAX)
         dnew = dnew.astype(store_dt)
-        idxs_j = problem.const(("damp_idx", name), idxs)
         # flat (n, d*d) blocks: diagonal entries sit at i*d+i; overwrite them
-        # with the damped backup via a static diag mask.
-        blocks = out[key][idxs_j]
+        # with the damped backup via a static diag mask. Diagonal blocks of
+        # one type are almost always a CONTIGUOUS index range of the group
+        # array — a static slice + dynamic_update_slice keeps the update
+        # pure-elementwise (the gather + row-scatter fallback costs ~100 ms
+        # per damping at Venice-Final: XLA serializes scatter rows).
+        n_idx = int(idxs.size)
+        contig = (n_idx > 0 and int(idxs[-1]) - int(idxs[0]) == n_idx - 1
+                  and bool(np.all(np.diff(idxs) == 1)))
+        if contig:
+            lo = int(idxs[0])
+            blocks = jax.lax.dynamic_slice_in_dim(out[key], lo, n_idx, 0)
+        else:
+            idxs_j = problem.const(("damp_idx", name), idxs)
+            blocks = out[key][idxs_j]
         diag_pos = np.arange(d) * (d + 1)
         mask = np.zeros(d * d, dtype=bool)
         mask[diag_pos] = True
@@ -684,7 +695,11 @@ def apply_damping(problem, hs: HessianStructure, values: HessianValues,
             dnew
         )
         blocks = jnp.where(jnp.asarray(mask)[None, :], dnew_full, blocks)
-        out[key] = out[key].at[idxs_j].set(blocks)
+        if contig:
+            out[key] = jax.lax.dynamic_update_slice(
+                out[key], blocks, (lo, 0))
+        else:
+            out[key] = out[key].at[idxs_j].set(blocks)
     return out
 
 
