@@ -399,6 +399,24 @@ def linearize(problem: Problem, params) -> Linearization:
     )
 
 
+def slim_linearization(lin: Linearization) -> Linearization:
+    """Drop the per-factor arrays (residuals, Jacobian storage, chi2
+    vectors) from a Linearization, keeping only the solve-facing vectors
+    (scales, diag, b, chi2).
+
+    Solvers that consume the factor arrays in ``prepare`` only (the
+    Schur / dense / sparse-direct families assemble Hessian values there;
+    ``solve`` reads just ``b``/``diag``) declare ``slim_carry = True`` and
+    the LM loop carries the slimmed form: at Venice-Final scale the
+    Jacobian storage alone is ~0.5 GB, and keeping it in the while_loop
+    carry makes the accept/reject ``lax.cond`` merge pay a full
+    read+select+write pass over it every iteration (the reference has no
+    analog — its trust-region loop mutates in place,
+    levenberg_marquardt.hpp:166-238)."""
+    return dataclasses.replace(
+        lin, residuals={}, jacobians={}, chi2_vec={}, chi2_deriv={})
+
+
 @with_matmul_precision
 def compute_chi2(problem: Problem, params) -> jax.Array:
     """chi2 only (``Graph::compute_error`` + ``chi2``, graph.hpp:221-234)."""

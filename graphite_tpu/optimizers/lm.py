@@ -42,7 +42,19 @@ from ..linearize import (
     compute_chi2,
     linearize,
     restore_parameters,
+    slim_linearization,
 )
+
+
+def _slim_carry(solver) -> bool:
+    """True when the LM carry should hold a slimmed Linearization (see
+    slim_linearization): the solver opted in via ``slim_carry = True``
+    (its ``solve`` reads only b/diag/scales) and the
+    ``GRAPHITE_TPU_FULL_CARRY`` A/B kill switch is unset."""
+    import os
+
+    return (getattr(solver, "slim_carry", False)
+            and not os.environ.get("GRAPHITE_TPU_FULL_CARRY"))
 
 
 @dataclasses.dataclass
@@ -134,6 +146,11 @@ def _lm_iteration(problem, solver, options: LevenbergMarquardtOptions):
             alpha = jnp.clip(alpha, 1.0 / 3.0, 2.0 / 3.0)
             lin2 = linearize(problem, new_params)
             sstate2 = solver.prepare(problem, lin2, new_params)
+            if _slim_carry(solver):
+                # structure matches the (slimmed) initial carry; the
+                # factor arrays die inside this branch once prepare has
+                # consumed them
+                lin2 = slim_linearization(lin2)
             return (
                 new_params,
                 backup_parameters(problem, new_params),
@@ -209,6 +226,8 @@ def _initial_carry_traced(problem, solver, params, options) -> LMCarry:
     gdt = problem.precision.graph_dtype
     lin = linearize(problem, params)
     sstate = solver.prepare(problem, lin, params)
+    if _slim_carry(solver):
+        lin = slim_linearization(lin)
     return _make_carry(problem, params, lin, sstate, options)
 
 
@@ -221,6 +240,8 @@ def _initial_carry(problem, solver, params, options) -> LMCarry:
 
         problem._cache[init_key] = problem.jit_with_consts(_init)
     lin, sstate = problem._cache[init_key](params)
+    if _slim_carry(solver):
+        lin = slim_linearization(lin)
     return _make_carry(problem, params, lin, sstate, options)
 
 

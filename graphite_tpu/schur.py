@@ -423,13 +423,45 @@ class SchurValues:
 
 
 @with_matmul_precision
-def schur_values(problem, ss: SchurStructure, hvals: HessianValues
-                 ) -> SchurValues:
+def prepare_stream_tables(problem, ss: SchurStructure,
+                          hvals: HessianValues):
+    """Damping-independent wide stream tables for the streamed triple
+    products, built once per LINEARIZATION (``solver.prepare``) instead of
+    once per solve: the right-operand stream of every streamed product
+    group is the raw Hpl-bearing H group, whose gathered rows are
+    pose-landmark blocks — ``apply_damping`` only rewrites diagonal
+    blocks, so the zero-padded ``stream_dtype`` copy (~1 GB of cast+pad
+    traffic per Schur rebuild at Venice-Final) is invariant across the
+    per-mu ``schur_values`` calls of one LM iteration sequence. Rows the
+    damping DOES touch (diagonal blocks sharing the group) are never read
+    through the product gather lists. Returns {} when nothing streams
+    (small problems, sharded mode, Pallas off)."""
+    nsh = problem.psum_size if problem.psum_axis is not None else None
+    if nsh is not None and nsh > 1:
+        return {}  # sharded branch gathers per device; no shared table
+    inv_dt = problem.precision.inv_dtype
+    sdt = jnp.dtype(problem.precision.stream_dtype)
+    out = {}
+    for gi, pg in enumerate(ss.products):
+        if pg["dst"].shape[0] <= _chunk_threshold(problem):
+            continue
+        ns = ss.s_sizes[pg["dst_key"]]
+        if _plan_stream_parts(problem, ss, gi, pg, ns, inv_dt) is None:
+            continue
+        out[gi] = _wide_table(hvals[pg["right_key"]].astype(sdt))
+    return out
+
+
+@with_matmul_precision
+def schur_values(problem, ss: SchurStructure, hvals: HessianValues,
+                 stream_tables=None) -> SchurValues:
     """S = Hpp - Hpl Hll^{-1} Hpl^T from damped H values
     (schur.hpp:227-235: Hpp copy -> block inversion -> triple products).
 
     All block batches are stored flat 2-D (ops/blockfmt.py); 3-D views exist
-    only transiently inside fused einsums.
+    only transiently inside fused einsums. ``stream_tables`` (optional,
+    from ``prepare_stream_tables``) supplies the damping-invariant wide
+    right-operand stream copies so they are not rebuilt per solve.
     """
     inv_dt = problem.precision.inv_dtype
 
@@ -695,7 +727,9 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues
                 # f32 and accumulates in f32 either way).
                 sdt = jnp.dtype(problem.precision.stream_dtype)
                 Wg_src = _wide_table(Wsrc.astype(sdt))
-                Rg_src = _wide_table(Rsrc.astype(sdt))
+                Rg_src = (stream_tables or {}).get(gi)
+                if Rg_src is None:
+                    Rg_src = _wide_table(Rsrc.astype(sdt))
 
                 for p, part in enumerate(parts):
                     if _max_parts and p >= _max_parts:

@@ -76,6 +76,9 @@ class DenseCholeskyState:
 
 @dataclasses.dataclass(frozen=True)
 class DenseCholeskySolver:
+    # solve() reads only lin.b (H assembled in prepare) -> slim LM carry
+    slim_carry = True
+
     def prepare(self, problem, lin: Linearization, params=None):
         return DenseCholeskyState(H=assemble_dense_hessian(problem, lin))
 

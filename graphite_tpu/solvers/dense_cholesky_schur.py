@@ -125,6 +125,9 @@ def schur_to_dense(problem, ss, sv) -> jax.Array:
 
 @dataclasses.dataclass(frozen=True)
 class DenseCholeskySchurSolver:
+    # solve() reads only lin.b / lin.diag -> slim LM carry
+    slim_carry = True
+
     def prepare(self, problem, lin: Linearization, params=None):
         hs = build_hessian_structure(problem)
         build_schur_structure(problem)

@@ -33,6 +33,9 @@ from ..schur import SchurOps, build_schur_structure, schur_values
 @dataclasses.dataclass
 class SchurSolverState:
     hvals: HessianValues  # undamped Hessian block values
+    # damping-invariant wide stream copies (schur.prepare_stream_tables);
+    # None/{} when nothing streams
+    stream_tables: object = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,6 +53,10 @@ class PCGSchurSolver:
     max_iter: int = 10
     tol: float = 1.0
     rejection_ratio: float = 5.0
+    # solve() reads only lin.b / lin.diag (Hessian values live in the
+    # prepared state) -> the LM loop may carry a slimmed Linearization
+    # (linearize.slim_linearization)
+    slim_carry = True
     preconditioner: object = dataclasses.field(
         default_factory=BlockJacobiSchurPreconditioner
     )
@@ -65,9 +72,14 @@ class PCGSchurSolver:
     fused_pcg_limit: int = 1024
 
     def prepare(self, problem, lin: Linearization, params=None):
+        from ..schur import prepare_stream_tables
+
         hs = build_hessian_structure(problem)
-        build_schur_structure(problem)  # cache structure on first use
-        return SchurSolverState(hvals=compute_hessian_values(problem, hs, lin))
+        ss = build_schur_structure(problem)  # cache structure on first use
+        hvals = compute_hessian_values(problem, hs, lin)
+        return SchurSolverState(
+            hvals=hvals,
+            stream_tables=prepare_stream_tables(problem, ss, hvals))
 
     def solve(self, problem, lin: Linearization, state: SchurSolverState,
               damping, use_identity: bool, params=None):
@@ -77,7 +89,8 @@ class PCGSchurSolver:
 
         hv = apply_damping(problem, hs, state.hvals, lin.diag, damping,
                            use_identity)
-        sv = schur_values(problem, ss, hv)
+        sv = schur_values(problem, ss, hv,
+                          stream_tables=state.stream_tables)
         ops = SchurOps(problem, ss, hv, sv)
         b_s = ops.b_schur(lin.b)
 

@@ -63,6 +63,8 @@ def _host_sparse_solve(indptr, indices, dim):
 
 @dataclasses.dataclass(frozen=True)
 class SparseDirectSolver:
+    # solve() reads only lin.b / lin.diag -> slim LM carry
+    slim_carry = True
     # Above this dim_h the dense on-device factorization is skipped
     # (dim_h^2 storage). 24576 covers BAL Ladybug-49's full system
     # (dim_h = 23,769 -> 2.26 GB f32 dense + the factor; measured to fit

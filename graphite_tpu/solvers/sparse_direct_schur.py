@@ -86,6 +86,8 @@ def _schur_csc(problem, ss):
 
 @dataclasses.dataclass(frozen=True)
 class SparseDirectSchurSolver:
+    # solve() reads only lin.b / lin.diag -> slim LM carry
+    slim_carry = True
     # Pose systems at or below this size are factorized on device as a
     # dense blocked Cholesky (no host callback); 0 forces the host path.
     on_device_dim_p: int = 20_000
