@@ -93,9 +93,14 @@ class SparseDirectSchurSolver:
     on_device_dim_p: int = 20_000
 
     def prepare(self, problem, lin: Linearization, params=None):
+        from ..schur import prepare_stream_tables
+
         hs = build_hessian_structure(problem)
-        build_schur_structure(problem)
-        return SchurSolverState(hvals=compute_hessian_values(problem, hs, lin))
+        ss = build_schur_structure(problem)
+        hvals = compute_hessian_values(problem, hs, lin)
+        return SchurSolverState(
+            hvals=hvals,
+            stream_tables=prepare_stream_tables(problem, ss, hvals))
 
     def solve(self, problem, lin: Linearization, state, damping,
               use_identity: bool, params=None):
@@ -105,7 +110,8 @@ class SparseDirectSchurSolver:
 
         hv = apply_damping(problem, hs, state.hvals, lin.diag, damping,
                            use_identity)
-        sv = schur_values(problem, ss, hv)
+        sv = schur_values(problem, ss, hv,
+                          stream_tables=state.stream_tables)
         ops = SchurOps(problem, ss, hv, sv)
         b_s = ops.b_schur(lin.b).astype(gdt)
 
