@@ -34,13 +34,51 @@ import sys
 import time
 
 BASELINE_ITERS_PER_SEC = 20.0  # stand-in CUDA-reference estimate (see above)
-SIZE = sys.argv[1] if len(sys.argv) > 1 else "ladybug"
+# No argument = the DEFAULT driver run: ladybug with full stage probes,
+# PLUS quick venice-big + pose throughput passes in subprocesses (their
+# JSON lines are printed first and nested into the final object) so the
+# driver-recorded BENCH captures the scale regimes the kernel work
+# targets (VERDICT r4 weak #4). Explicit sizes keep the old single-regime
+# behavior; "venice-quick"/"pose" are the probe-free quick modes.
+SIZE = sys.argv[1] if len(sys.argv) > 1 else "default"
+QUICK = SIZE.endswith("-quick")
+if SIZE == "venice-quick":
+    SIZE = "venice-big"
+elif SIZE == "default":
+    SIZE = "ladybug"
 # Venice-Final-scale: the 20-iteration while_loop program runs at the HBM
 # limit (the 10-iteration variant is the validated one) and per-stage
 # calls cost seconds, so the floor-amortization loop count drops.
 BIG = SIZE == "venice-big"
 ITERATIONS = 10 if BIG else 20
 STAGE_N = 5 if BIG else 200  # per-stage loop count (amortizes the ~25 ms program floor)
+
+
+def run_extra_regimes():
+    """Run the quick venice-big + pose passes as SUBPROCESSES (isolated:
+    a worker crash or HBM transient at Venice scale cannot take down the
+    ladybug headline) and return their parsed JSON metrics."""
+    import os
+    import subprocess
+
+    if os.environ.get("GRAPHITE_TPU_BENCH_EXTRAS", "1") == "0":
+        return {}
+    out = {}
+    for mode, budget_s in (("venice-quick", 2400), ("pose", 1800)):
+        log(f"--- extra regime: {mode} (subprocess) ---")
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, mode], capture_output=True,
+                text=True, timeout=budget_s)
+            sys.stderr.write(r.stderr[-4000:])
+            line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() \
+                else ""
+            parsed = json.loads(line)
+            print(line, flush=True)  # extra JSON line before the final one
+            out[mode] = parsed
+        except Exception as e:  # noqa: BLE001 - extras are best-effort
+            log(f"extra regime {mode} FAILED: {type(e).__name__}: {e}")
+    return out
 
 
 def log(*a):
@@ -166,7 +204,7 @@ def pose_main():
     }))
 
 
-def main():
+def main(extras=None):
     import jax
     import jax.numpy as jnp
 
@@ -250,6 +288,28 @@ def main():
 
     iters_per_sec = res.iterations / best
     accept_rate = res.accepted_steps / max(res.iterations, 1)
+
+    if QUICK:
+        # probe-free throughput pass (subprocess regime of the default
+        # run): one JSON line, no stage probes / ledger
+        time_to_1e6 = None
+        per_it = best / max(res.iterations, 1)
+        for h in res.history:
+            if h["chi2"] - res.chi2 <= 1e-6 * abs(res.chi2):
+                time_to_1e6 = round((h["iteration"] + 1) * per_it, 4)
+                break
+        metric_size = "ladybug49" if SIZE == "ladybug" else SIZE
+        print(json.dumps({
+            "metric": f"bal_{metric_size}_lm_pcg_schur_iters_per_sec",
+            "value": round(iters_per_sec, 3),
+            "unit": "iter/s",
+            "vs_baseline": None,
+            "per_iter_ms": round(1e3 / iters_per_sec, 2),
+            "time_to_1e6_rel_final_cost_s": time_to_1e6,
+            "accept_rate": round(accept_rate, 2),
+            "chi2_final": float(f"{res.chi2:.6g}"),
+        }))
+        return
 
     # ---- FLOP/MFU ledger + per-stage device timings ------------------------
     led = perf.flop_ledger(problem, pcg_iters=solver.max_iter)
@@ -459,7 +519,7 @@ def main():
                 break
 
     metric_size = "ladybug49" if SIZE == "ladybug" else SIZE
-    print(json.dumps({
+    payload = {
         "metric": f"bal_{metric_size}_lm_pcg_schur_iters_per_sec",
         "value": round(iters_per_sec, 3),
         "unit": "iter/s",
@@ -472,11 +532,24 @@ def main():
         "ledger_mflop": {k: round(v / 1e6, 1) for k, v in led.items()},
         "stages": stages,
         "chi2_final": float(f"{res.chi2:.6g}"),
-    }))
+    }
+    if extras:
+        payload["scale_regimes"] = {
+            k: {f: v.get(f) for f in
+                ("metric", "value", "unit", "per_iter_ms",
+                 "time_to_1e6_rel_final_cost_s", "accept_rate",
+                 "chi2_final")}
+            for k, v in extras.items()
+        }
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
     if SIZE == "pose":
         pose_main()
-    else:
+    elif len(sys.argv) > 1:
         main()
+    else:
+        # default driver run: quick scale regimes first (subprocesses),
+        # then the fully-probed ladybug headline with the extras nested
+        main(extras=run_extra_regimes())

@@ -212,7 +212,7 @@ def _run(vals_pad, seg_pad, starts, nflush, bases, *, chunk, w_pad, f, a,
                 pl.BlockSpec((8, chunk),
                              lambda i, *s: (jnp.minimum(i, last) // 8, 0)),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((a, d_pad), jnp.float32),
                 pltpu.SemaphoreType.DMA,
@@ -433,7 +433,7 @@ def _run_prod(left_pad, right_pad, seg_pad, starts, nflush, bases, *, chunk,
                 pl.BlockSpec((8, chunk),
                              lambda i, *s: (jnp.minimum(i, last) // 8, 0)),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((a, d_pad), jnp.float32),
                 pltpu.SemaphoreType.DMA,
@@ -565,7 +565,7 @@ def _run_mv_tbl(left_pad, xtab, idx_pad, seg_pad, starts, nflush, bases,
                 pl.BlockSpec((8, chunk),
                              lambda i, *s: (jnp.minimum(i, last) // 8, 0)),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((a, d_pad), jnp.float32),
                 pltpu.SemaphoreType.DMA,

@@ -278,9 +278,13 @@ def levenberg_marquardt(problem, solver, params=None,
             return levenberg_marquardt(problem, solver, params, inner,
                                        stop_flag)
 
+    # _slim_carry is read at TRACE time (GRAPHITE_TPU_FULL_CARRY env +
+    # solver attribute): it must be part of the cache key or toggling the
+    # A/B switch after a first run silently reuses the compiled loop
     key = ("lm", id(solver), options.use_identity,
            options.early_stop_bad_steps, options.early_stop_relative,
-           options.jit_loop, options.iterations if options.jit_loop else None)
+           options.jit_loop, options.iterations if options.jit_loop else None,
+           _slim_carry(solver))
     if options.jit_loop:
         if key not in problem._cache:
 

@@ -359,6 +359,22 @@ def build_schur_structure(problem) -> SchurStructure:
                 )
             )
 
+    # Product RIGHT operands are gathered straight from the (dp, dl)
+    # H value group (hvals[right_key]) at runtime, but the pair lists
+    # index among the group's HPL blocks only. Compose through hpl_h_idx
+    # so MIXED groups (dp == dl: the group also holds diagonal / Hpp
+    # blocks) read the correct rows — exact identity for BAL-style
+    # pure-Hpl groups, so the hot path is unchanged. This also keeps
+    # prepare_stream_tables' damping-invariance exact: composed indices
+    # point only at pose-landmark rows, which damping never rewrites.
+    for pg in products:
+        hidx = hpl_h_idx[pg["right_key"]]
+        n_h = hidx.shape[0]
+        if not (n_h and int(hidx[0]) == 0 and int(hidx[-1]) == n_h - 1
+                and np.array_equal(hidx,
+                                   np.arange(n_h, dtype=hidx.dtype))):
+            pg["right"] = hidx[pg["right"]].astype(np.int32)
+
     _tm.lap("products")
     # --- S diagonal lookup (vectorized) ---
     diag_codes = np.arange(n_pose) * n_pose + np.arange(n_pose)
@@ -435,7 +451,14 @@ def prepare_stream_tables(problem, ss: SchurStructure,
     per-mu ``schur_values`` calls of one LM iteration sequence. Rows the
     damping DOES touch (diagonal blocks sharing the group) are never read
     through the product gather lists. Returns {} when nothing streams
-    (small problems, sharded mode, Pallas off)."""
+    (small problems, sharded mode, Pallas off).
+
+    ``GRAPHITE_TPU_NO_STREAM_TABLES=1`` disables the hoist (per-solve
+    rebuild instead): the tables live in the LM while_loop carry for the
+    whole optimization (~the wide-padded Hpl stream copy), so at
+    HBM-limit scale this is the A/B + emergency headroom switch."""
+    if os.environ.get("GRAPHITE_TPU_NO_STREAM_TABLES"):
+        return {}
     nsh = problem.psum_size if problem.psum_axis is not None else None
     if nsh is not None and nsh > 1:
         return {}  # sharded branch gathers per device; no shared table
@@ -616,9 +639,18 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues,
                     streaming_segment_product_sum,
                 )
 
+                # per-device stream copies match the single-chip path:
+                # wide (fast-gather) tables in ``stream_dtype`` (bf16
+                # under low-precision policies — the kernel loads -> f32
+                # and accumulates in f32), so the sharded configuration
+                # exercises the production transport
+                sdt = jnp.dtype(problem.precision.stream_dtype)
+                Wg_sh = _wide_table(Wsrc.astype(sdt))
+                Rg_sh = _wide_table(Rsrc.astype(sdt))
                 plan = dict(geom, num_segments=ns_max)
                 local = streaming_segment_product_sum(
-                    Wsrc[li], Rsrc[ri].astype(inv_dt), plan, dpa, dl, dpb,
+                    Wg_sh[li], Rg_sh[ri], plan, dpa, dl, dpb,
+                    out_dtype=inv_dt,
                     seg_pad=segd,
                     starts=dev_row("starts", sp["starts"]),
                     nflush=dev_row("nflush", sp["nflush"]),

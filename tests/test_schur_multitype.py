@@ -127,6 +127,74 @@ def test_multitype_schur_matches_dense():
                                rtol=1e-9, atol=1e-10)
 
 
+POSE3 = gt.vertex_type("mt_pose3", 3)
+LM3B = gt.vertex_type("mt_lm3b", 3)
+
+
+def f33(p, l, obs):
+    return jnp.array([p[0] * l[0] + p[1] - obs[0],
+                      p[2] * l[1] + l[2] - obs[1]])
+
+
+def f33pp(p, q, obs):
+    return jnp.array([p[0] - q[1] - obs[0], p[2] * q[0] - obs[1]])
+
+
+F33 = gt.factor_type("mt_f33", 2, [POSE3, LM3B], f33, obs_shape=(2,))
+F33PP = gt.factor_type("mt_f33pp", 2, [POSE3, POSE3], f33pp,
+                       obs_shape=(2,))
+
+
+def test_equal_dims_mixed_group_schur_matches_dense():
+    """dp == dl (3-dim poses, 3-dim landmarks): the single (3,3) Hessian
+    value group holds pose-diagonal, landmark-diagonal, pose-pose
+    off-diagonal AND pose-landmark blocks, so ``hpl_h_idx`` is NOT the
+    identity — the triple-product right-operand indices must be composed
+    through it (a silent wrong-rows read before round 5; the hoisted
+    stream tables of ``prepare_stream_tables`` rely on the same
+    composition for damping-invariance)."""
+    rng = np.random.default_rng(4)
+    g = gt.Graph(precision=gt.FP64_FP64)
+    p3 = g.add_vertex_set(POSE3)
+    l3 = g.add_vertex_set(LM3B)
+    n_p, n_l = 4, 7
+    for i in range(n_p):
+        p3.add(i, rng.normal(1, 0.3, 3))
+    for i in range(n_l):
+        l3.add(100 + i, rng.normal(0.5, 0.3, 3))
+    l3.set_eliminate(True)
+    fs = g.add_factor_set(F33)
+    for _ in range(40):
+        fs.add([int(rng.integers(n_p)), 100 + int(rng.integers(n_l))],
+               obs=rng.normal(0, 1, 2))
+    fpp = g.add_factor_set(F33PP)
+    for i in range(n_p - 1):
+        fpp.add([i, i + 1], obs=rng.normal(0, 1, 2))
+    problem = g.freeze()
+
+    ss = build_schur_structure(problem)
+    (key,) = ss.hpl_keys
+    assert key == (3, 3)
+    hidx = ss.hpl_h_idx[key]
+    assert not np.array_equal(hidx, np.arange(hidx.shape[0])), (
+        "fixture failed to produce a mixed (3,3) group")
+
+    lin = linearize(problem, problem.params0)
+    hs = build_hessian_structure(problem)
+    hv = apply_damping(problem, hs,
+                       compute_hessian_values(problem, hs, lin),
+                       lin.diag, 1e-2, False)
+    sv = schur_values(problem, ss, hv)
+
+    H = hessian_to_dense(problem, hs, hv)
+    npp = ss.dim_p
+    Hpp, Hpl, Hll = H[:npp, :npp], H[:npp, npp:], H[npp:, npp:]
+    S_ref = Hpp - Hpl @ np.linalg.inv(Hll) @ Hpl.T
+    S = np.asarray(schur_to_dense(problem, ss, sv))
+    np.testing.assert_allclose(S, S_ref, rtol=1e-10,
+                               atol=1e-10 * max(1.0, np.abs(S_ref).max()))
+
+
 def test_multitype_full_vs_schur_lm():
     problem = _problem(seed=2)
     opts = LevenbergMarquardtOptions(iterations=15, initial_damping=1e-3)

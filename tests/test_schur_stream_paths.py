@@ -132,6 +132,28 @@ def test_streamed_parts_product_matches_simple(_force_stream, monkeypatch,
             rtol=1e-4, atol=1e-4)
 
 
+def test_streamed_parts_with_stream_tables(_force_stream, monkeypatch):
+    """prepare_stream_tables (built from UNDAMPED values, once per
+    linearization) feeding schur_values under NONZERO damping ≡ the
+    per-solve table rebuild: the hoisted right-operand stream gathers
+    only pose-landmark rows, which apply_damping never rewrites."""
+    monkeypatch.setattr(schur_mod, "CHUNK_THRESHOLD", 16)
+    monkeypatch.setattr(schur_mod, "STREAM_PART_ROWS", 1 << 10)
+    problem, lin, hs, ss, hv, sv_ref = _setup()  # hv damped at 1e-2
+    hv0 = compute_hessian_values(problem, hs, lin)  # undamped
+    tables = schur_mod.prepare_stream_tables(problem, ss, hv0)
+    assert tables, "no stream tables built (streamed path not engaged)"
+    sv_tbl = schur_values(problem, ss, hv, stream_tables=tables)
+    for k in sv_ref.s_vals:
+        np.testing.assert_allclose(
+            np.asarray(sv_tbl.s_vals[k]), np.asarray(sv_ref.s_vals[k]),
+            rtol=1e-4, atol=1e-4)
+
+    # kill switch: prepare returns {} (per-solve rebuild path)
+    monkeypatch.setenv("GRAPHITE_TPU_NO_STREAM_TABLES", "1")
+    assert schur_mod.prepare_stream_tables(problem, ss, hv0) == {}
+
+
 @pytest.mark.parametrize("variant", ["sym", "tbl", "wide"])
 def test_s_matvec_streaming_matches_fallback(_force_stream, monkeypatch,
                                              variant):

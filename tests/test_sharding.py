@@ -159,11 +159,18 @@ def test_sharded_schur_values_match_single_device(mesh):
         )
 
 
-def test_sharded_schur_dst_partition_streaming(mesh, monkeypatch):
+@pytest.mark.parametrize("stream_dtype,tol", [("f32", (2e-4, 1e-3)),
+                                              ("bf16", (2e-2, 5e-2))])
+def test_sharded_schur_dst_partition_streaming(mesh, monkeypatch,
+                                               stream_dtype, tol):
     """The dst-partitioned sharded product stage (VERDICT r2 #4): each
     device owns a contiguous, segment-aligned ~K/8 slice of the pair
     list, reduces it with the STREAMING kernel (interpret mode here), and
-    the disjoint-slice all-gather reassembly matches single-device."""
+    the disjoint-slice all-gather reassembly matches single-device.
+
+    Parametrized over the stream transport dtype: f32 = exact path
+    equivalence; bf16 = the PRODUCTION default (sharded + bf16 streams +
+    streaming kernels together — VERDICT r4 weak #6), looser bound."""
     import functools
 
     import graphite_tpu.ops.pallas.segsum_stream as ss_mod
@@ -178,6 +185,7 @@ def test_sharded_schur_dst_partition_streaming(mesh, monkeypatch):
     from graphite_tpu.parallel.sharding import data_specs, shard_map
     from graphite_tpu.schur import build_schur_structure, schur_values
 
+    monkeypatch.setenv("GRAPHITE_TPU_STREAM_DTYPE", stream_dtype)
     monkeypatch.setattr(
         ss_mod.pl, "pallas_call",
         functools.partial(jax.experimental.pallas.pallas_call,
@@ -217,7 +225,7 @@ def test_sharded_schur_dst_partition_streaming(mesh, monkeypatch):
     for k in sv_ref.s_vals:
         np.testing.assert_allclose(
             np.asarray(s_vals[k]), np.asarray(sv_ref.s_vals[k]),
-            rtol=2e-4, atol=1e-3,
+            rtol=tol[0], atol=tol[1],
         )
 
     # the partition plan was built, is streaming-feasible, and balances

@@ -57,9 +57,13 @@ def test_slim_matches_full_carry(solver_cls):
     full = _run(solver, {"GRAPHITE_TPU_FULL_CARRY": "1"})
     assert slim.iterations == full.iterations
     assert slim.accepted_steps == full.accepted_steps
-    assert slim.chi2 == full.chi2  # identical math, identical floats
+    # identical math, but two structurally different XLA programs:
+    # fusion/scheduling differences may legitimately change rounding on
+    # some backends, so assert a tight tolerance (accept pattern and
+    # iteration counts above stay exact)
+    assert slim.chi2 == pytest.approx(full.chi2, rel=1e-6)
     for hs, hf in zip(slim.history, full.history):
-        assert hs["chi2"] == hf["chi2"]
+        assert hs["chi2"] == pytest.approx(hf["chi2"], rel=1e-6)
         assert hs["accepted"] == hf["accepted"]
 
 
