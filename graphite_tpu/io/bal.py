@@ -95,7 +95,8 @@ def save(path: str, ds: BALDataset) -> None:
 
 
 def build_graph(ds: BALDataset, precision=None, eliminate_points: bool = True,
-                loss=None, loss_param: Optional[float] = None):
+                loss=None, loss_param: Optional[float] = None,
+                factor=None):
     """Build a Graph for a BAL dataset (examples/bal.cu:134-167).
 
     Camera ids: [0, C); point ids: [C, C+P) — disjoint global id ranges.
@@ -119,7 +120,7 @@ def build_graph(ds: BALDataset, precision=None, eliminate_points: bool = True,
     if eliminate_points:
         pts.set_eliminate(True)
 
-    ftype = bal_model.REPROJECTION
+    ftype = factor if factor is not None else bal_model.REPROJECTION
     if loss is not None:
         ftype = dataclasses.replace(ftype, loss=loss)
     fs = g.add_factor_set(ftype)
