@@ -126,43 +126,103 @@ def reprojection_jacobian(camera, point, obs):
                       -1.0 / 12.0 + th2 / 180.0 - th2 * th2 / 6720.0,
                       (alpha - 2.0 * beta) / th2_g)
 
-    wxX = jnp.cross(w, X)
-    wdX = jnp.dot(w, X)
-    v = c * X + alpha * wxX + beta * wdX * w
-    # exact consistency with the residual's th -> 0 guard
-    v = jnp.where(th2 < 1e-24, X + wxX, v)
-    P = v + t
+    # --- everything below is SCALAR elementwise math: under the batched
+    # vmap, tiny per-factor matrix products ((2,3)@(3,3) dot_generals,
+    # eye/outer constructions) lower to tile-padded batched matmuls that
+    # cost ~2x the jacfwd chain on TPU (tools/linearize_probe.py);
+    # expanded entries stay pure VPU lanes.
+    w0, w1, w2 = w[0], w[1], w[2]
+    X0, X1, X2 = X[0], X[1], X[2]
+    wxX0 = w1 * X2 - w2 * X1
+    wxX1 = w2 * X0 - w0 * X2
+    wxX2 = w0 * X1 - w1 * X0
+    wdX = w0 * X0 + w1 * X1 + w2 * X2
 
-    iz = 1.0 / P[2]
-    p = -P[:2] * iz
-    r2 = jnp.dot(p, p)
+    tiny = th2 < 1e-24
+    v0 = c * X0 + alpha * wxX0 + beta * wdX * w0
+    v1 = c * X1 + alpha * wxX1 + beta * wdX * w1
+    v2 = c * X2 + alpha * wxX2 + beta * wdX * w2
+    # exact consistency with the residual's th -> 0 guard
+    v0 = jnp.where(tiny, X0 + wxX0, v0)
+    v1 = jnp.where(tiny, X1 + wxX1, v1)
+    v2 = jnp.where(tiny, X2 + wxX2, v2)
+
+    P0, P1, P2 = v0 + t[0], v1 + t[1], v2 + t[2]
+    iz = 1.0 / P2
+    px = -P0 * iz
+    py = -P1 * iz
+    r2 = px * px + py * py
     dist = 1.0 + k1 * r2 + k2 * r2 * r2
 
-    # A = dres/dp (2,2); B = dp/dP (2,3); G = A @ B = dres/dP (2,3)
+    # A = dres/dp (2,2); G = A @ (dp/dP) = dres/dP (2,3), expanded
     dd = 2.0 * (k1 + 2.0 * k2 * r2)
-    A = f * (dist * jnp.eye(2, dtype=p.dtype) + dd * jnp.outer(p, p))
-    B = iz * jnp.concatenate(
-        [-jnp.eye(2, dtype=p.dtype), -p[:, None]], axis=1)
-    G = A @ B
+    A00 = f * (dist + dd * px * px)
+    A01 = f * dd * px * py
+    A11 = f * (dist + dd * py * py)
+    G00 = -iz * A00
+    G01 = -iz * A01
+    G02 = -iz * (A00 * px + A01 * py)
+    G10 = -iz * A01
+    G11 = -iz * A11
+    G12 = -iz * (A01 * px + A11 * py)
 
-    # dv/dw (3,3): see docstring
-    col = gamma * wxX - alpha * X + delta * wdX * w
-    dv_dw = (-alpha * _cross_mat(X)
-             + beta * (wdX * jnp.eye(3, dtype=p.dtype) + jnp.outer(w, X))
-             + jnp.outer(col, w))
-    dv_dw = jnp.where(th2 < 1e-24, -_cross_mat(X), dv_dw)
+    # dv/dw (3,3) entries: -alpha [X]x + beta (wdX I + w X^T) + col w^T
+    c0 = gamma * wxX0 - alpha * X0 + delta * wdX * w0
+    c1 = gamma * wxX1 - alpha * X1 + delta * wdX * w1
+    c2 = gamma * wxX2 - alpha * X2 + delta * wdX * w2
+    bw = beta * wdX
+    ag = jnp.where(tiny, jnp.ones_like(alpha), alpha)
+    bg = jnp.where(tiny, jnp.zeros_like(beta), beta)
+    zg = jnp.where(tiny, jnp.zeros_like(beta), 1.0)
+    D00 = bg * wdX + bg * w0 * X0 + zg * c0 * w0
+    D01 = ag * X2 + bg * w0 * X1 + zg * c0 * w1
+    D02 = -ag * X1 + bg * w0 * X2 + zg * c0 * w2
+    D10 = -ag * X2 + bg * w1 * X0 + zg * c1 * w0
+    D11 = bg * wdX + bg * w1 * X1 + zg * c1 * w1
+    D12 = ag * X0 + bg * w1 * X2 + zg * c1 * w2
+    D20 = ag * X1 + bg * w2 * X0 + zg * c2 * w0
+    D21 = -ag * X0 + bg * w2 * X1 + zg * c2 * w1
+    D22 = bg * wdX + bg * w2 * X2 + zg * c2 * w2
 
-    R = (c * jnp.eye(3, dtype=p.dtype) + alpha * _cross_mat(w)
-         + beta * jnp.outer(w, w))
+    # R (3,3) entries: c I + alpha [w]x + beta w w^T
+    R00 = c + beta * w0 * w0
+    R01 = -alpha * w2 + beta * w0 * w1
+    R02 = alpha * w1 + beta * w0 * w2
+    R10 = alpha * w2 + beta * w1 * w0
+    R11 = c + beta * w1 * w1
+    R12 = -alpha * w0 + beta * w1 * w2
+    R20 = -alpha * w1 + beta * w2 * w0
+    R21 = alpha * w0 + beta * w2 * w1
+    R22 = c + beta * w2 * w2
 
-    J_cam = jnp.concatenate([
-        G @ dv_dw,                       # d/d rvec (2,3)
-        G,                               # d/d t    (2,3)
-        (dist * p)[:, None],             # d/d f    (2,1)
-        (f * r2 * p)[:, None],           # d/d k1   (2,1)
-        (f * r2 * r2 * p)[:, None],      # d/d k2   (2,1)
-    ], axis=1)
-    J_pt = G @ R
+    J_cam = jnp.stack([
+        jnp.stack([
+            G00 * D00 + G01 * D10 + G02 * D20,
+            G00 * D01 + G01 * D11 + G02 * D21,
+            G00 * D02 + G01 * D12 + G02 * D22,
+            G00, G01, G02,
+            dist * px, f * r2 * px, f * r2 * r2 * px,
+        ]),
+        jnp.stack([
+            G10 * D00 + G11 * D10 + G12 * D20,
+            G10 * D01 + G11 * D11 + G12 * D21,
+            G10 * D02 + G11 * D12 + G12 * D22,
+            G10, G11, G12,
+            dist * py, f * r2 * py, f * r2 * r2 * py,
+        ]),
+    ])
+    J_pt = jnp.stack([
+        jnp.stack([
+            G00 * R00 + G01 * R10 + G02 * R20,
+            G00 * R01 + G01 * R11 + G02 * R21,
+            G00 * R02 + G01 * R12 + G02 * R22,
+        ]),
+        jnp.stack([
+            G10 * R00 + G11 * R10 + G12 * R20,
+            G10 * R01 + G11 * R11 + G12 * R21,
+            G10 * R02 + G11 * R12 + G12 * R22,
+        ]),
+    ])
     return J_cam, J_pt
 
 

@@ -486,6 +486,156 @@ def streaming_segment_product_sum(left: jax.Array, right: jax.Array,
     ).astype(out_dtype or left.dtype)
 
 
+def _kernel_prod_rtbl(starts_ref, nflush_ref, bases_ref, wblk_ref,
+                      left_ref, rt0_ref, rt1_ref, rid_ref, seg_ref,
+                      out_ref, acc_ref, sem, *, chunk, w_pad, f, a,
+                      n_chunks, m, kdim, n, d_pad, lw, wbp, dw, nslot):
+    """`_kernel_prod` with the RIGHT operand served from a rolling
+    two-block window of the slot-packed, destination-major-sorted right
+    row table instead of a pre-gathered (k_pad, rw) stream.
+
+    The triple-product pair list is dst-sorted by S code
+    (col_major * n_pose + row), so the right operand's source rows —
+    the Hpl-bearing blocks of the MAJOR pose — advance monotonically
+    through a col-major-sorted table; each chunk's ids fit a 2-block
+    window planned on the host (same rolling-window trick as the wtbl
+    b_schur kernel). This deletes one of the two ~K-row XLA gathers
+    (~11.4 ns/row dispatch-bound at any width) that dominate
+    schur_values at Venice-Final scale."""
+    from .pcg_mf import _gather_v
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    nf = nflush_ref[i]
+    base0 = bases_ref[i]
+
+    def flush(kf, carry):
+        copy = pltpu.make_async_copy(
+            acc_ref.at[pl.ds(0, f), :],
+            out_ref.at[pl.ds(base0 + kf * f, f), :],
+            sem,
+        )
+        copy.start()
+        copy.wait()
+        acc_ref[pl.ds(0, a - f), :] = acc_ref[pl.ds(f, a - f), :]
+        acc_ref[pl.ds(a - f, f), :] = jnp.zeros((f, d_pad), acc_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, nf, flush, 0)
+
+    @pl.when(i < n_chunks)
+    def _():
+        base = base0 + nf * f
+        w0 = starts_ref[i]
+        sub = pl.ds(jax.lax.rem(i, jnp.int32(8)), 1)
+        seg_row = seg_ref[sub, :]  # (1, chunk)
+        rid = rid_ref[sub, :]
+        d = m * n
+        # window-local right rows: ids outside [0, 2*wbp*nslot) (pad
+        # rows) match no one-hot row -> zero right -> contribution
+        # killed by the trash-segment window reduce anyway
+        rloc = rid - wblk_ref[i] * jnp.int32(wbp * nslot)
+        rtab = jnp.concatenate([rt0_ref[:], rt1_ref[:]], axis=0)
+        right = _gather_v(rloc, rtab, 2 * wbp, chunk, dw, nslot)
+        # exact copy of the table values -> cast back is lossless and
+        # keeps bf16 streams on 1-pass dots
+        right = right.astype(rtab.dtype)
+        left = left_ref[:]
+        lparts = value_parts(left)
+        rparts = value_parts(right)
+        prod = None
+        for b in range(kdim):
+            P, Q = _expansion_onehots_slice(m, kdim, n, b, lw=lw, rw=dw)
+            lexp = parts_dot(lparts, P, (((1,), (0,)), ((), ())),
+                             onehot_left=False)
+            rexp = parts_dot(rparts, Q, (((1,), (0,)), ((), ())),
+                             onehot_left=False)
+            term = lexp * rexp
+            prod = term if prod is None else prod + term
+
+        slot = w0 - base
+        _window_reduce(value_parts(prod), seg_row, w0, w_pad, chunk,
+                       d, d_pad, acc_ref, slot)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "w_pad", "f", "a", "n_chunks",
+                              "n_steps", "k_pad", "out_alloc",
+                              "num_segments", "m", "kdim", "n", "lw",
+                              "wbp", "dw", "nslot")
+)
+def _run_prod_rtbl(left_pad, rtab_p, seg_pad, rid, starts, nflush, bases,
+                   wblk, *, chunk, w_pad, f, a, n_chunks, n_steps, k_pad,
+                   out_alloc, num_segments, m, kdim, n, lw, wbp, dw,
+                   nslot):
+    d = m * n
+    d_pad = _round_up(d, 128)
+    last = n_chunks - 1
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_prod_rtbl, chunk=chunk, w_pad=w_pad,
+                          f=f, a=a, n_chunks=n_chunks, m=m, kdim=kdim,
+                          n=n, d_pad=d_pad, lw=lw, wbp=wbp, dw=dw,
+                          nslot=nslot),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec((chunk, lw),
+                             lambda i, *s: (jnp.minimum(i, last), 0)),
+                pl.BlockSpec((wbp, 128),
+                             lambda i, *s: (s[3][jnp.minimum(i, last)], 0)),
+                pl.BlockSpec((wbp, 128),
+                             lambda i, *s: (s[3][jnp.minimum(i, last)] + 1,
+                                            0)),
+                pl.BlockSpec((8, chunk),
+                             lambda i, *s: (jnp.minimum(i, last) // 8, 0)),
+                pl.BlockSpec((8, chunk),
+                             lambda i, *s: (jnp.minimum(i, last) // 8, 0)),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((a, d_pad), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((out_alloc, d_pad), jnp.float32),
+    )(starts, nflush, bases, wblk, left_pad, rtab_p, rtab_p, rid, seg_pad)
+    return out[:num_segments, :d]
+
+
+def streaming_segment_product_sum_rtbl(left, rtab_packed, plan, m: int,
+                                       k: int, n: int, seg_pad, rid,
+                                       starts, nflush, bases, wblk,
+                                       wbp: int, out_dtype=None):
+    """Fused triple-product streaming reduction with the RIGHT operand
+    windowed from a slot-packed dst-major row table (see
+    `_kernel_prod_rtbl`). ``left`` is the pre-gathered (k_pad, lw)
+    stream; ``rtab_packed`` the (rows/nslot, 128) packed right table;
+    ``rid``/``wblk`` the host-planned window ids per chunk.
+
+    Reference parity: the same Schur triple-product + atomicAdd scatter
+    (ops/schur.hpp:117-188) as `streaming_segment_product_sum`, minus
+    one K-row gather."""
+    from .segmv import slot_geom
+
+    k_pad = plan["k_pad"]
+    assert left.shape[0] == k_pad, "pass k_pad-padded gathered left rows"
+    dw, nslot = slot_geom(n * k)
+    return _run_prod_rtbl(
+        left, rtab_packed, seg_pad, rid, starts, nflush, bases, wblk,
+        chunk=plan["chunk"], w_pad=plan["w_pad"], f=plan["f"],
+        a=plan["a"], n_chunks=plan["n_chunks"], n_steps=plan["n_steps"],
+        k_pad=k_pad, out_alloc=plan["out_alloc"],
+        num_segments=plan["num_segments"], m=m, kdim=k, n=n,
+        lw=left.shape[1], wbp=wbp, dw=dw, nslot=nslot,
+    ).astype(out_dtype or left.dtype)
+
+
 def _kernel_mv_tbl(starts_ref, nflush_ref, bases_ref, left_ref, xtab_ref,
                    idx_ref, seg_ref, out_ref, acc_ref, sem, *, chunk,
                    w_pad, f, a, n_chunks, m, kdim, d, d_pad, lw, xw,

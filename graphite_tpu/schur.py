@@ -464,14 +464,24 @@ def prepare_stream_tables(problem, ss: SchurStructure,
         return {}  # sharded branch gathers per device; no shared table
     inv_dt = problem.precision.inv_dtype
     sdt = jnp.dtype(problem.precision.stream_dtype)
+    fused = not os.environ.get("GRAPHITE_TPU_NO_FUSED_STREAM")
     out = {}
     for gi, pg in enumerate(ss.products):
         if pg["dst"].shape[0] <= _chunk_threshold(problem):
             continue
         ns = ss.s_sizes[pg["dst_key"]]
-        if _plan_stream_parts(problem, ss, gi, pg, ns, inv_dt) is None:
+        parts = _plan_stream_parts(problem, ss, gi, pg, ns, inv_dt)
+        if parts is None:
             continue
-        out[gi] = _wide_table(hvals[pg["right_key"]].astype(sdt))
+        Rsrc = hvals[pg["right_key"]]
+        rtbl = _plan_rtbl(problem, ss, gi, pg, parts,
+                          Rsrc.shape[0]) if fused else None
+        if rtbl is not None:
+            # dst-major-sorted packed window table (the rtbl kernel's
+            # format) — same damping invariance as the wide table
+            out[gi] = _rtbl_table(problem, gi, rtbl, Rsrc, sdt)
+        else:
+            out[gi] = _wide_table(Rsrc.astype(sdt))
     return out
 
 
@@ -733,6 +743,7 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues,
 
                 from .ops.pallas.segsum_stream import (
                     streaming_segment_product_sum,
+                    streaming_segment_product_sum_rtbl,
                     streaming_segment_sum,
                 )
 
@@ -759,16 +770,21 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues,
                 # f32 and accumulates in f32 either way).
                 sdt = jnp.dtype(problem.precision.stream_dtype)
                 Wg_src = _wide_table(Wsrc.astype(sdt))
+                rtbl = _plan_rtbl(problem, ss, gi, pg, parts,
+                                  Rsrc.shape[0]) if fused else None
                 Rg_src = (stream_tables or {}).get(gi)
                 if Rg_src is None:
-                    Rg_src = _wide_table(Rsrc.astype(sdt))
+                    Rg_src = (_rtbl_table(problem, gi, rtbl, Rsrc, sdt)
+                              if rtbl is not None
+                              else _wide_table(Rsrc.astype(sdt)))
 
                 for p, part in enumerate(parts):
                     if _max_parts and p >= _max_parts:
                         break  # timing hook: cap streamed parts
                     plan = part["plan"]
                     li = problem.const(("stream_l", gi, p), part["left"])
-                    ri = problem.const(("stream_r", gi, p), part["right"])
+                    ri = (None if rtbl is not None else problem.const(
+                        ("stream_r", gi, p), part["right"]))
                     if p > 0:
                         # serialize parts: without a data dependency XLA
                         # may schedule every part's per-part transient
@@ -787,7 +803,18 @@ def schur_values(problem, ss: SchurStructure, hvals: HessianValues,
                         bases=problem.const(("stream_bases", gi, p),
                                             plan["bases"]),
                     )
-                    if fused:
+                    if rtbl is not None:
+                        pp = rtbl["parts"][p]
+                        acc = streaming_segment_product_sum_rtbl(
+                            Wg_src[li], Rg_src, plan, dpa, dl, dpb,
+                            rid=problem.const(("rtbl_rid", gi, p),
+                                              pp["rid_2d"]),
+                            wblk=problem.const(("rtbl_wblk", gi, p),
+                                               pp["wblk"]),
+                            wbp=rtbl["wbp"], out_dtype=inv_dt,
+                            **stream_consts,
+                        )
+                    elif fused:
                         acc = streaming_segment_product_sum(
                             Wg_src[li], Rg_src[ri], plan,
                             dpa, dl, dpb, out_dtype=inv_dt,
@@ -962,6 +989,102 @@ def _plan_stream_parts(problem, ss, gi, pg, ns, inv_dt):
     return cache[gi]
 
 
+
+
+def _plan_rtbl(problem, ss, gi, pg, parts, n_hrows: int):
+    """Host plan (cached) for serving the streamed triple products' RIGHT
+    operand from a rolling window of a dst-major-sorted packed row table
+    (ops/pallas/segsum_stream.py:_kernel_prod_rtbl) instead of a ~K-row
+    XLA gather.
+
+    The pair list is dst-sorted by S code (col_pose * n_pose + row), so
+    the right operand's pose advances monotonically; sorting the right H
+    rows by pose makes each chunk's source ids window-local. Per part and
+    chunk the plan records the 2-block window index; infeasible coverage
+    (a pose with more Hpl rows than the largest window) returns None and
+    the caller keeps the gather path.
+
+    Reference parity: the gather side of the triple-product kernels
+    (ops/schur.hpp:117-188) — the reference reads operands through
+    random-access loads; here the dst-major sort turns them sequential.
+    """
+    if os.environ.get("GRAPHITE_TPU_NO_RTBL"):
+        return None
+    cache = problem._cache.setdefault("rtbl_plans", {})
+    if gi in cache:
+        return cache[gi]
+    from .ops.pallas.segmv import pack_chunk_ids, slot_geom
+
+    dpa, dl, dpb = pg["dims"]
+    dw, nslot = slot_geom(dpb * dl)
+    rkey = pg["right_key"]
+    h_idx = ss.hpl_h_idx[rkey]
+    # pose per H-group row (rows that are not Hpl blocks — mixed groups —
+    # sort to the end and are never referenced by pg["right"])
+    pose_of = np.full(n_hrows, np.iinfo(np.int64).max, dtype=np.int64)
+    pose_of[h_idx] = ss.hpl_pose[rkey]
+    perm = np.argsort(pose_of, kind="stable").astype(np.int32)
+    pos = np.empty(n_hrows, dtype=np.int64)
+    pos[perm] = np.arange(n_hrows)
+
+    # smallest window (2 blocks of wbp packed rows) covering every
+    # chunk's live id span, grown across ALL parts (shared kernel
+    # geometry), then per-part per-chunk window block indices
+    spans = []
+    wbp = 512
+    for part in parts:
+        plan = part["plan"]
+        chunk, k_pad, n_live = plan["chunk"], plan["k_pad"], plan["k"]
+        rid = np.zeros(k_pad, dtype=np.int64)
+        rid[:n_live] = pos[part["right"][:n_live]]
+        live = np.zeros(k_pad, dtype=bool)
+        live[:n_live] = True
+        n_chunks = plan["n_chunks"]
+        rid_c = rid.reshape(n_chunks, chunk)
+        live_c = live.reshape(n_chunks, chunk)
+        any_l = live_c.any(1)
+        lo = np.where(any_l,
+                      np.where(live_c, rid_c, np.int64(2**62)).min(1), 0)
+        hi = np.where(any_l,
+                      np.where(live_c, rid_c, np.int64(-1)).max(1), 0)
+        spans.append((rid, lo, hi))
+        while wbp <= 4096 and np.any(hi >= (lo // (wbp * nslot) + 2)
+                                     * (wbp * nslot)):
+            wbp *= 2
+        if wbp > 4096:
+            cache[gi] = None
+            return None
+
+    lg = wbp * nslot
+    n_blocks = -(-n_hrows // lg) + 1
+    plan_parts = []
+    for (rid, lo, hi), part in zip(spans, parts):
+        wblk = (lo // lg).astype(np.int32)
+        assert np.all(hi < (wblk.astype(np.int64) + 2) * lg)
+        n_blocks = max(n_blocks, int(wblk.max(initial=0)) + 2)
+        plan = part["plan"]
+        plan_parts.append(dict(
+            wblk=wblk,
+            rid_2d=pack_chunk_ids(rid.astype(np.int32), plan["k_pad"],
+                                  plan["chunk"], 0),
+        ))
+
+    cache[gi] = dict(perm=perm, wbp=wbp, dw=dw, nslot=nslot,
+                     n_blocks=n_blocks, parts=plan_parts)
+    return cache[gi]
+
+
+def _rtbl_table(problem, gi, rtbl, Rsrc, sdt):
+    """Build the dst-major-sorted, zero-padded, slot-PACKED right row
+    table the rtbl kernel windows over: (n_blocks * wbp, 128)."""
+    from .ops.pallas.segmv import pack_rows
+
+    dw, nslot = rtbl["dw"], rtbl["nslot"]
+    n_rows = rtbl["n_blocks"] * rtbl["wbp"] * nslot
+    t = Rsrc.astype(sdt)[problem.const(("rtbl_perm", gi), rtbl["perm"])]
+    d = t.shape[1]
+    t = jnp.pad(t, ((0, n_rows - t.shape[0]), (0, dw - d)))
+    return pack_rows(t, nslot)
 
 
 def _product_scatter(problem, ss, gi, pg, prod_flat, inv_dt):
