@@ -1,0 +1,449 @@
+"""Nested-dissection multifrontal block Cholesky (on-device, any dim_h).
+
+TPU-native replacement for the reference's sparse on-GPU factorization
+(`cudss.hpp:53-269`): where cuDSS runs a supernodal factorization with
+random-access scatter/gather and host-RAM spill (cudss.hpp:112-127), this
+module restates the factorization as LEVEL-BATCHED dense linear algebra:
+
+- HOST (freeze/prepare time, NumPy): a nested-dissection tree over the
+  BLOCK adjacency graph via recursive BFS-median bisection (BFS levels
+  are true vertex separators: edges only join adjacent levels), dense
+  frontal matrices per tree node, and static scalar gather/scatter maps
+  for assembly, extend-add, and the triangular solves.
+- DEVICE (jit): one pass per tree DEPTH, bottom-up. All fronts of a
+  depth are batched into (n_l, W, W) arrays (padded to the level's max
+  front size, dead columns carry an identity diagonal), factorized with
+  batched Cholesky + triangular solves, and their Schur updates
+  extend-added into the parent level with ONE static scatter. The MXU
+  sees dense batched matmuls; no data-dependent control flow exists.
+
+Shapes are static per problem: relinearization re-runs the numeric
+phase without retracing (structure is host-side, compute is jit —
+CLAUDE.md invariant).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Host: graph machinery
+# ---------------------------------------------------------------------------
+
+
+def _build_adjacency(n: int, rows: np.ndarray, cols: np.ndarray):
+    """CSR adjacency (both directions, no self loops) over block ids."""
+    m = rows != cols
+    a = np.concatenate([rows[m], cols[m]])
+    b = np.concatenate([cols[m], rows[m]])
+    order = np.argsort(a, kind="stable")
+    a, b = a[order], b[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, a + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    return indptr, b
+
+
+def _bfs_levels(indptr, indices, nodes, start):
+    """BFS level number per node of the induced subgraph (dict)."""
+    inset = {v: None for v in nodes}
+    level = {start: 0}
+    frontier = [start]
+    lv = 0
+    while frontier:
+        lv += 1
+        nxt = []
+        for u in frontier:
+            for v in indices[indptr[u]:indptr[u + 1]]:
+                if v in inset and v not in level:
+                    level[v] = lv
+                    nxt.append(v)
+        frontier = nxt
+    return level
+
+
+@dataclasses.dataclass
+class _TreeNode:
+    own: np.ndarray      # block ids eliminated at this node
+    children: List[int]
+    depth: int = 0
+    bd: Optional[np.ndarray] = None  # ancestor block ids in the front
+
+
+def build_nd_tree(n_blocks: int, rows: np.ndarray, cols: np.ndarray,
+                  leaf: int = 24) -> List[_TreeNode]:
+    """Nested-dissection tree over the block graph. Returns nodes with
+    `own` / `children` / `depth` filled; node 0 is the root."""
+    indptr, indices = _build_adjacency(n_blocks, rows, cols)
+    nodes: List[_TreeNode] = []
+
+    def dissect(sub: np.ndarray) -> int:
+        me = len(nodes)
+        if sub.shape[0] <= leaf:
+            nodes.append(_TreeNode(own=sub, children=[]))
+            return me
+        # connected components first (empty separator between them)
+        inset = {v: None for v in sub}
+        seen = set()
+        comps = []
+        for s in sub:
+            if s in seen:
+                continue
+            lvl = _bfs_levels(indptr, indices, sub, s)
+            comp = [v for v in lvl if v not in seen]
+            seen.update(comp)
+            comps.append((np.array(sorted(comp)), lvl))
+        if len(comps) > 1:
+            nodes.append(_TreeNode(own=np.empty(0, dtype=sub.dtype),
+                                   children=[]))
+            nodes[me].children = [dissect(c) for c, _ in comps]
+            return me
+        # pseudo-peripheral start: BFS twice
+        _, lvl0 = comps[0][0], comps[0][1]
+        far = max(lvl0, key=lvl0.get)
+        lvl = _bfs_levels(indptr, indices, sub, far)
+        maxlv = max(lvl.values())
+        if maxlv < 2:
+            # complete-ish graph: no useful separator
+            nodes.append(_TreeNode(own=sub, children=[]))
+            return me
+        # median BFS level = separator (true separator: BFS edges only
+        # join adjacent levels)
+        counts = np.zeros(maxlv + 1, dtype=np.int64)
+        for v, l in lvl.items():
+            counts[l] += 1
+        half = counts.sum() // 2
+        cut = int(np.searchsorted(np.cumsum(counts), half))
+        cut = min(max(cut, 1), maxlv - 1)
+        sep = np.array(sorted(v for v, l in lvl.items() if l == cut))
+        a = np.array(sorted(v for v, l in lvl.items() if l < cut))
+        b = np.array(sorted(v for v, l in lvl.items() if l > cut))
+        nodes.append(_TreeNode(own=sep, children=[]))
+        kids = []
+        if a.shape[0]:
+            kids.append(dissect(a))
+        if b.shape[0]:
+            kids.append(dissect(b))
+        nodes[me].children = kids
+        return me
+
+    dissect(np.arange(n_blocks, dtype=np.int64))
+
+    # depths (root = 0)
+    def set_depth(i, d):
+        nodes[i].depth = d
+        for c in nodes[i].children:
+            set_depth(c, d + 1)
+
+    set_depth(0, 0)
+
+    # boundaries bottom-up: bd(n) = (N(own) ∪ bd(children)) \ subtree-own,
+    # which by the separator property is a subset of n's ancestors' own
+    owner = np.full(n_blocks, -1, dtype=np.int64)
+    for i, nd in enumerate(nodes):
+        owner[nd.own] = i
+    depth_of = np.array([nd.depth for nd in nodes])
+
+    order = sorted(range(len(nodes)), key=lambda i: -nodes[i].depth)
+    for i in order:
+        nd = nodes[i]
+        cand = set()
+        for v in nd.own:
+            cand.update(indices[indptr[v]:indptr[v + 1]].tolist())
+        for c in nd.children:
+            cand.update(nodes[c].bd.tolist())
+        nd.bd = np.array(sorted(
+            v for v in cand if depth_of[owner[v]] < nd.depth
+        ), dtype=np.int64)
+    return nodes
+
+
+# ---------------------------------------------------------------------------
+# Host: symbolic factorization plan
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class NDPlan:
+    """Everything the jitted numeric phase needs (static arrays)."""
+
+    levels: List[dict]       # per depth (deepest first)
+    dim_h: int
+    n_nodes: int
+
+
+def build_nd_plan(problem, hs, leaf: int = 24) -> NDPlan:
+    """Symbolic multifrontal plan from the Hessian block structure."""
+    offsets = np.asarray(problem.block_offsets)
+    n_cols = int(max(hs.block_rows.max(initial=-1),
+                     hs.block_cols.max(initial=-1))) + 1
+    full_off = np.concatenate([offsets[:n_cols],
+                               [int(offsets[n_cols])
+                                if n_cols < offsets.shape[0]
+                                else problem.dim_h]])
+    dims = np.diff(full_off)
+
+    nodes = build_nd_tree(n_cols, hs.block_rows, hs.block_cols, leaf=leaf)
+    owner = np.full(n_cols, -1, dtype=np.int64)
+    for i, nd in enumerate(nodes):
+        owner[nd.own] = i
+    depth_of = np.array([nd.depth for nd in nodes])
+    max_depth = int(depth_of.max())
+
+    # per node: front column layout (scalar): own scalars then bd scalars
+    col_pos: List[Dict[int, int]] = [None] * len(nodes)
+    s_dim = np.zeros(len(nodes), dtype=np.int64)
+    b_dim = np.zeros(len(nodes), dtype=np.int64)
+    for i, nd in enumerate(nodes):
+        pos = {}
+        p = 0
+        for blk in nd.own:
+            pos[blk] = p
+            p += int(dims[blk])
+        s_dim[i] = p
+        for blk in nd.bd:
+            pos[blk] = p
+            p += int(dims[blk])
+        b_dim[i] = p - s_dim[i]
+        col_pos[i] = pos
+
+    # nodes per level (deepest level first), index within level
+    by_level: List[List[int]] = [[] for _ in range(max_depth + 1)]
+    idx_in_level = np.zeros(len(nodes), dtype=np.int64)
+    for i, nd in enumerate(nodes):
+        idx_in_level[i] = len(by_level[nd.depth])
+        by_level[nd.depth].append(i)
+
+    # original block -> assembling node = deeper of the two owners
+    o_r = owner[hs.block_rows]
+    o_c = owner[hs.block_cols]
+    deeper = np.where(depth_of[o_r] >= depth_of[o_c], o_r, o_c)
+
+    levels = []
+    for d in range(max_depth, -1, -1):
+        nl = by_level[d]
+        s_max = int(max((s_dim[i] for i in nl), default=0))
+        b_max = int(max((b_dim[i] for i in nl), default=0))
+        s_max = max(s_max, 1)
+        W = s_max + b_max
+        n_l = len(nl)
+
+        # ---- assembly maps per H group ----
+        asm = []
+        for gi, key in enumerate(hs.group_keys):
+            dr, dc = key
+            sel = np.nonzero((hs.group_of_block == gi)
+                             & np.isin(deeper, nl))[0]
+            if sel.shape[0] == 0:
+                continue
+            g_idx = hs.index_in_group[sel]
+            node = deeper[sel]
+            li = idx_in_level[node]
+
+            def fpos(n, blk):
+                # bd columns live at s_max + bd-local offset (the own
+                # region is padded to the level's s_max)
+                p = col_pos[n][blk]
+                return p if p < s_dim[n] else p - int(s_dim[n]) + s_max
+
+            fr = np.array([fpos(n, r) for n, r in
+                           zip(node, hs.block_rows[sel])])
+            fc = np.array([fpos(n, c) for n, c in
+                           zip(node, hs.block_cols[sel])])
+            rr = np.arange(dr)[None, :, None]
+            cc = np.arange(dc)[None, None, :]
+            dst = ((li[:, None, None] * W + fr[:, None, None] + rr) * W
+                   + fc[:, None, None] + cc)
+            offd = hs.block_rows[sel] != hs.block_cols[sel]
+            o = np.nonzero(offd)[0]
+            dst_t = ((li[o][:, None, None] * W + fc[o][:, None, None]
+                      + cc) * W + fr[o][:, None, None] + rr)
+            asm.append(dict(
+                group=key,
+                g_idx=g_idx.astype(np.int64),
+                dst=dst.reshape(sel.shape[0], dr * dc).astype(np.int64),
+                o_sel=o.astype(np.int64),
+                dst_t=dst_t.reshape(o.shape[0], dr * dc).astype(np.int64),
+            ))
+
+        # ---- dead-diagonal identity (padding columns) ----
+        eye = np.zeros((n_l, W), dtype=np.float32)
+        for k, i in enumerate(nl):
+            live = int(s_dim[i] + b_dim[i])
+            eye[k, int(s_dim[i]):s_max] = 1.0  # dead own cols
+            eye[k, s_max + int(b_dim[i]):] = 1.0  # dead bd cols
+        # dead own cols occupy [s_dim, s_max); live bd shifts to s_max
+        # => bd scalars of node i sit at s_max + (pos - s_dim[i])
+
+        # ---- extend-add: children (at deeper levels) -> this level ----
+        # child's U rows/cols = its bd blocks; they map into this front.
+        # Flat src/dst index arrays are finalized after all levels exist
+        # (the src flattening needs the SOURCE level's b_max).
+        ea_by_src: Dict[int, list] = {}
+        for k, i in enumerate(nl):
+            for c in nodes[i].children:
+                cb = nodes[c].bd
+                if cb.shape[0] == 0:
+                    continue
+                # child bd scalar positions within its U (bd-local)
+                cpos = []
+                for blk in cb:
+                    base = col_pos[c][blk] - int(s_dim[c])
+                    cpos.extend(range(base, base + int(dims[blk])))
+                cpos = np.array(cpos, dtype=np.int64)
+                # positions in THIS front (own at pos, bd shifted to s_max)
+                fpos = []
+                for blk in cb:
+                    p = col_pos[i][blk]
+                    if p >= s_dim[i]:
+                        p = p - int(s_dim[i]) + s_max
+                    fpos.extend(range(p, p + int(dims[blk])))
+                fpos = np.array(fpos, dtype=np.int64)
+                ea_by_src.setdefault(nodes[c].depth, []).append(
+                    (idx_in_level[c], cpos, fpos, k))
+        ea = [dict(src_depth=cd, items=items)
+              for cd, items in sorted(ea_by_src.items())]
+
+        # ---- solve maps: global scalar ids of own and bd columns ----
+        own_g = np.full((n_l, s_max), problem.dim_h, dtype=np.int64)
+        bd_g = np.full((n_l, b_max), problem.dim_h, dtype=np.int64)
+        for k, i in enumerate(nl):
+            p = 0
+            for blk in nodes[i].own:
+                dmm = int(dims[blk])
+                own_g[k, p:p + dmm] = np.arange(
+                    full_off[blk], full_off[blk] + dmm)
+                p += dmm
+            p = 0
+            for blk in nodes[i].bd:
+                dmm = int(dims[blk])
+                bd_g[k, p:p + dmm] = np.arange(
+                    full_off[blk], full_off[blk] + dmm)
+                p += dmm
+
+        levels.append(dict(
+            depth=d, node_ids=nl, n_l=n_l, s_max=s_max, b_max=b_max, W=W,
+            asm=asm, eye=eye, ea=ea, own_g=own_g, bd_g=bd_g,
+        ))
+
+    # finalize extend-add source indices now that per-level b_max known
+    lvl_of_depth = {lv["depth"]: lv for lv in levels}
+    for lv in levels:
+        for ea in lv["ea"]:
+            src_lv = lvl_of_depth[ea["src_depth"]]
+            bms = src_lv["b_max"]
+            W = lv["W"]
+            srcs, dsts = [], []
+            for ci, cpos, fpos, k in ea["items"]:
+                src = ((ci * bms + cpos[:, None]) * bms
+                       + cpos[None, :]).reshape(-1)
+                dst = ((k * W + fpos[:, None]) * W
+                       + fpos[None, :]).reshape(-1)
+                srcs.append(src)
+                dsts.append(dst)
+            ea["src"] = np.concatenate(srcs)
+            ea["dst"] = np.concatenate(dsts)
+            del ea["items"]
+
+    return NDPlan(levels=levels, dim_h=problem.dim_h, n_nodes=len(nodes))
+
+
+# ---------------------------------------------------------------------------
+# Device: numeric factorization + solve
+# ---------------------------------------------------------------------------
+
+
+def nd_factor(problem, plan: NDPlan, hvals: Dict, dtype=jnp.float32):
+    """Batched level-by-level numeric factorization. Returns the factor
+    pytree (per level: L11, L21T) for `nd_solve`."""
+    factors = []
+    U_of_depth: Dict[int, jax.Array] = {}
+    for li, lv in enumerate(plan.levels):
+        n_l, W, s = lv["n_l"], lv["W"], lv["s_max"]
+        F = jnp.zeros((n_l * W * W,), dtype=dtype)
+        for asm in lv["asm"]:
+            vals = hvals[asm["group"]][
+                problem.const(("nd_gidx", li, asm["group"]), asm["g_idx"])
+            ].astype(dtype)
+            F = F.at[problem.const(("nd_dst", li, asm["group"]),
+                                   asm["dst"])].add(vals)
+            if asm["o_sel"].shape[0]:
+                F = F.at[problem.const(
+                    ("nd_dstt", li, asm["group"]), asm["dst_t"]
+                )].add(vals[problem.const(
+                    ("nd_osel", li, asm["group"]), asm["o_sel"])])
+        for ea in lv["ea"]:
+            U = U_of_depth[ea["src_depth"]].reshape(-1)
+            F = F.at[problem.const(("nd_eadst", li, ea["src_depth"]),
+                                   ea["dst"])].add(
+                U[problem.const(("nd_easrc", li, ea["src_depth"]),
+                                ea["src"])])
+        F = F.reshape(n_l, W, W)
+        eye = problem.const(("nd_eye", li), lv["eye"]).astype(dtype)
+        F = F + jax.vmap(jnp.diag)(eye)
+
+        A11 = F[:, :s, :s]
+        L11 = jax.vmap(lambda a: jnp.linalg.cholesky(a))(A11)
+        if W > s:
+            A12 = F[:, :s, s:]
+            L21T = jax.vmap(
+                lambda l, a: jax.scipy.linalg.solve_triangular(
+                    l, a, lower=True)
+            )(L11, A12)  # (n, s, b) = L11^{-1} A12
+            U = F[:, s:, s:] - jnp.einsum(
+                "nsb,nsc->nbc", L21T, L21T,
+                preferred_element_type=dtype)
+        else:
+            L21T = jnp.zeros((n_l, s, 0), dtype=dtype)
+            U = jnp.zeros((n_l, 0, 0), dtype=dtype)
+        U_of_depth[lv["depth"]] = U
+        factors.append((L11, L21T))
+    return factors
+
+
+def nd_solve(problem, plan: NDPlan, factors, b: jax.Array) -> jax.Array:
+    """Forward + backward triangular solves over the level schedule."""
+    dtype = factors[0][0].dtype
+    dim = plan.dim_h
+    rhs = jnp.concatenate([b.astype(dtype), jnp.zeros(1, dtype)])
+    ys = []
+    # forward (deepest level first)
+    for li, lv in enumerate(plan.levels):
+        L11, L21T = factors[li]
+        own = problem.const(("nd_own", li), lv["own_g"])
+        bd = problem.const(("nd_bd", li), lv["bd_g"])
+        b_own = rhs[own]  # (n, s)
+        y = jax.vmap(
+            lambda l, v: jax.scipy.linalg.solve_triangular(
+                l, v, lower=True)
+        )(L11, b_own)
+        ys.append(y)
+        if lv["b_max"]:
+            upd = -jnp.einsum("nsb,ns->nb", L21T, y,
+                              preferred_element_type=dtype)
+            rhs = rhs.at[bd].add(upd)
+        rhs = rhs.at[dim].set(0.0)
+    # backward (root last -> reversed)
+    x = jnp.concatenate([jnp.zeros(dim, dtype), jnp.zeros(1, dtype)])
+    for li in range(len(plan.levels) - 1, -1, -1):
+        lv = plan.levels[li]
+        L11, L21T = factors[li]
+        own = problem.const(("nd_own", li), lv["own_g"])
+        y = ys[li]
+        if lv["b_max"]:
+            bd = problem.const(("nd_bd", li), lv["bd_g"])
+            y = y - jnp.einsum("nsb,nb->ns", L21T, x[bd],
+                               preferred_element_type=dtype)
+        xo = jax.vmap(
+            lambda l, v: jax.scipy.linalg.solve_triangular(
+                l, v, lower=True, trans=1)
+        )(L11, y)
+        x = x.at[own].set(xo)
+        x = x.at[dim].set(0.0)
+    return x[:dim]

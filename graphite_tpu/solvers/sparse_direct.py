@@ -76,12 +76,28 @@ class SparseDirectSolver:
     # callback on CPU. True/False forces.
     on_device: object = None
 
+    # None: nested-dissection multifrontal (ops/nd_multifrontal.py) when
+    # dim_h exceeds the dense limit on a device backend (the TPU-native
+    # analog of cuDSS's sparse factorization at any size,
+    # cudss.hpp:53-269). True/False forces it on/off at any size.
+    multifrontal: object = None
+
     def _on_device(self, problem) -> bool:
         if problem.dim_h > self.on_device_limit:
             return False
         if self.on_device is not None:
             return bool(self.on_device)
         return jax.default_backend() != "cpu"
+
+    def _use_nd(self, problem) -> bool:
+        import os
+
+        if self.multifrontal is not None:
+            return bool(self.multifrontal)
+        if os.environ.get("GRAPHITE_TPU_ND"):
+            return True
+        return (problem.dim_h > self.on_device_limit
+                and jax.default_backend() != "cpu")
 
     def prepare(self, problem, lin: Linearization, params=None):
         hs = build_hessian_structure(problem)
@@ -95,6 +111,26 @@ class SparseDirectSolver:
         hs = build_hessian_structure(problem)
         hv = apply_damping(problem, hs, state.hvals, lin.diag, damping,
                            use_identity)
+
+        if self._use_nd(problem):
+            from ..ops.nd_multifrontal import (
+                build_nd_plan,
+                nd_factor,
+                nd_solve,
+            )
+
+            if "nd_plan" not in problem._cache:
+                problem._cache["nd_plan"] = build_nd_plan(problem, hs)
+            plan = problem._cache["nd_plan"]
+            inv_dt = problem.precision.inv_dtype
+            factors = nd_factor(problem, plan, hv, dtype=inv_dt)
+            x = nd_solve(problem, plan, factors,
+                         lin.b[: problem.dim_h])
+            ok = jnp.all(jnp.isfinite(x))
+            x = jnp.where(ok, x, 0.0).astype(gdt)
+            out = jnp.zeros(problem.dim_x, dtype=gdt)
+            out = out.at[: problem.dim_h].set(x)
+            return out, ok
 
         if self._on_device(problem):
             from ..hessian import dense_hessian_matrix
