@@ -255,7 +255,12 @@ def main(extras=None):
     log(f"devices: {probe['devices']}")
     t0 = time.perf_counter()
     ds = synthetic.make_bal(SIZE, seed=0)
-    g, *_ = bal_io.build_graph(ds, precision=gt.FP32_FP32)
+    # GRAPHITE_TPU_BENCH_PRECISION=fp32_bf16 A/Bs the low-precision
+    # STORAGE policy (bf16 J + Hessian/S blocks, f32 graph/accum)
+    prec = {"fp32_fp32": gt.FP32_FP32,
+            "fp32_bf16": gt.FP32_BF16}[os.environ.get(
+                "GRAPHITE_TPU_BENCH_PRECISION", "fp32_fp32")]
+    g, *_ = bal_io.build_graph(ds, precision=prec)
     problem = g.freeze()
     log(f"problem built: {ds.num_cameras} cams / {ds.num_points} pts / "
         f"{ds.num_observations} obs, dim_h={problem.dim_h} "

@@ -100,18 +100,57 @@ def build_nd_tree(n_blocks: int, rows: np.ndarray, cols: np.ndarray,
             seen.update(comp)
             comps.append((np.array(sorted(comp)), lvl))
         if len(comps) > 1:
+            # disconnected: recurse on large components; pack small ones
+            # (no mutual fill) into shared leaf nodes by block locality
             nodes.append(_TreeNode(own=np.empty(0, dtype=sub.dtype),
                                    children=[]))
-            nodes[me].children = [dissect(c) for c, _ in comps]
+            kids = []
+            small = sorted((c for c, _ in comps if c.shape[0] <= leaf),
+                           key=lambda c: int(c[0]))
+            batch: list = []
+            cnt = 0
+            for c in small:
+                if cnt + c.shape[0] > leaf and batch:
+                    kids.append(len(nodes))
+                    nodes.append(_TreeNode(
+                        own=np.concatenate(batch), children=[]))
+                    batch, cnt = [], 0
+                batch.append(c)
+                cnt += c.shape[0]
+            if batch:
+                kids.append(len(nodes))
+                nodes.append(_TreeNode(own=np.concatenate(batch),
+                                       children=[]))
+            for c, _ in comps:
+                if c.shape[0] > leaf:
+                    kids.append(dissect(c))
+            nodes[me].children = kids
             return me
         # pseudo-peripheral start: BFS twice
         _, lvl0 = comps[0][0], comps[0][1]
         far = max(lvl0, key=lvl0.get)
         lvl = _bfs_levels(indptr, indices, sub, far)
         maxlv = max(lvl.values())
-        if maxlv < 2:
-            # complete-ish graph: no useful separator
-            nodes.append(_TreeNode(own=sub, children=[]))
+        if maxlv < 4:
+            # hub graph (e.g. BAL cameras: BFS diameter ~4, median
+            # levels hold half the nodes): separate by removing the
+            # top-degree hubs instead — the remainder's components
+            # become the children (for bipartite BA this rediscovers
+            # the Schur elimination structure: cameras = separator)
+            inset = {v: None for v in sub}
+            deg = {v: sum(1 for u in indices[indptr[v]:indptr[v + 1]]
+                          if u in inset) for v in sub}
+            order_d = sorted(sub, key=lambda v: -deg[v])
+            n_hub = max(1, min(len(sub) // 4,
+                               int(np.sqrt(len(sub))) * 2))
+            hubs = set(order_d[:n_hub])
+            rest = np.array(sorted(v for v in sub if v not in hubs))
+            sep = np.array(sorted(hubs))
+            if rest.shape[0] == 0:
+                nodes.append(_TreeNode(own=sub, children=[]))
+                return me
+            nodes.append(_TreeNode(own=sep, children=[]))
+            nodes[me].children = [dissect(rest)]
             return me
         # median BFS level = separator (true separator: BFS edges only
         # join adjacent levels)
