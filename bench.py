@@ -85,6 +85,12 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def dataclasses_replace_iters(opts, n):
+    import dataclasses
+
+    return dataclasses.replace(opts, iterations=max(n, 1))
+
+
 def measure_floor(jax, jnp):
     """Fixed cost of one program execution over the tunnel (ms)."""
     x = jnp.ones((8,), jnp.float32)
@@ -185,6 +191,21 @@ def pose_main():
         log(f"timed run: {dt:.3f}s ({res.iterations / dt:.2f} iters/sec)")
     iters_per_sec = res.iterations / best
 
+    # marginal device per-iter (floor-cancelling two-trip-count
+    # difference — see main())
+    per_iter_device = None
+    half = dataclasses_replace_iters(opts, iters // 2)
+    res_h = levenberg_marquardt(problem, solver, options=half)
+    best_h = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res_h = levenberg_marquardt(problem, solver, options=half)
+        best_h = min(best_h, time.perf_counter() - t0)
+    d_it = res.iterations - res_h.iterations
+    if d_it > 0 and best > best_h:
+        per_iter_device = (best - best_h) / d_it
+        log(f"marginal device per-iter: {per_iter_device * 1e3:.3f} ms")
+
     time_to_1e6 = None
     per_it = best / max(res.iterations, 1)
     for h in res.history:
@@ -197,6 +218,9 @@ def pose_main():
         "unit": "iter/s",
         "vs_baseline": None,
         "per_iter_ms": round(1e3 / iters_per_sec, 2),
+        **({"per_iter_ms_device": round(per_iter_device * 1e3, 3),
+            "iters_per_sec_device": round(1.0 / per_iter_device, 1)}
+           if per_iter_device else {}),
         "time_to_1e6_rel_final_cost_s": time_to_1e6,
         "pcg_inner_iters": solver.max_iter,
         "accept_rate": round(res.accepted_steps / max(res.iterations, 1), 2),
@@ -293,6 +317,32 @@ def main(extras=None):
 
     iters_per_sec = res.iterations / best
     accept_rate = res.accepted_steps / max(res.iterations, 1)
+
+    # Marginal device iteration rate (round 5): the wall-clock of one
+    # levenberg_marquardt call includes a fixed per-program cost (~25-40 ms
+    # host dispatch + axon tunnel RPC — tools/step_bisect.py attribution),
+    # which at Ladybug scale is ~30% of the 20-iteration program's wall.
+    # Timing a second, half-length program and differencing cancels that
+    # floor exactly: (wall_full - wall_half) / (iters_full - iters_half)
+    # is the marginal cost of one more REAL LM iteration (same trajectory
+    # prefix, same while_loop program shape). Reported alongside — the
+    # headline `value` stays the full-program wall rate for r1-r4
+    # continuity. Venice-scale programs skip this (a second multi-minute
+    # compile for a <0.5% floor share).
+    per_iter_device = None
+    if not BIG and not QUICK:
+        half = dataclasses_replace_iters(opts, ITERATIONS // 2)
+        res_h = levenberg_marquardt(problem, solver, options=half)  # compile
+        best_h = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res_h = levenberg_marquardt(problem, solver, options=half)
+            best_h = min(best_h, time.perf_counter() - t0)
+        d_it = res.iterations - res_h.iterations
+        if d_it > 0 and best > best_h:
+            per_iter_device = (best - best_h) / d_it
+            log(f"marginal device per-iter: {per_iter_device * 1e3:.3f} ms "
+                f"({res_h.iterations} vs {res.iterations} iters)")
 
     if QUICK:
         # probe-free throughput pass (subprocess regime of the default
@@ -530,6 +580,9 @@ def main(extras=None):
         "unit": "iter/s",
         "vs_baseline": round(iters_per_sec / BASELINE_ITERS_PER_SEC, 3),
         "per_iter_ms": round(1e3 / iters_per_sec, 2),
+        **({"per_iter_ms_device": round(per_iter_device * 1e3, 3),
+            "iters_per_sec_device": round(1.0 / per_iter_device, 1)}
+           if per_iter_device else {}),
         "time_to_1e6_rel_final_cost_s": time_to_1e6,
         "useful_mflop_per_iter": round(per_iter_flops / 1e6, 1),
         "mfu_pct": round(100 * mfu, 4),

@@ -19,6 +19,13 @@ sys.path.insert(0, ".")
 
 SIZE = sys.argv[1] if len(sys.argv) > 1 else "ladybug"
 N = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+# optional comma-list of probes to run (venice-scale compiles are minutes
+# each): any of solve,update,reject,accept,full,chain
+ONLY = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+
+
+def want(tag):
+    return ONLY is None or tag in ONLY
 
 
 def main():
@@ -147,11 +154,43 @@ def main():
         return acc + (out.chi2 + pleaf[0, 0] + out.lin.b[0]
                       + sleaf[0, 0]).astype(jnp.float32) * 1e-30
 
-    probe("solve", p_solve, carry0)
-    probe("solve+update+chi2", p_update_chi2, carry0)
-    probe("reject path (no cond)", p_reject_path, carry0)
-    probe("accept path (no cond)", p_accept_path, carry0)
-    probe("full step (cond)", p_full_step, carry0)
+    if want("solve"):
+        probe("solve", p_solve, carry0)
+    if want("update"):
+        probe("solve+update+chi2", p_update_chi2, carry0)
+    if want("reject"):
+        probe("reject path (no cond)", p_reject_path, carry0)
+    if want("accept"):
+        probe("accept path (no cond)", p_accept_path, carry0)
+    if want("full"):
+        probe("full step (cond)", p_full_step, carry0)
+    if not want("chain"):
+        return
+
+    # 6. N REAL chained steps: the carry THREADS through (serial
+    # dependence, exactly the while_loop's data flow minus the trace
+    # write and run-flag plumbing). The un-chained probes above re-use
+    # carry0 every iteration, so XLA overlaps iteration i+1's loads with
+    # iteration i's compute — the delta between this number and
+    # "full step (cond)" is the pipelining the real LM loop CANNOT have.
+    def chain(c0, n):
+        f = problem.jit_with_consts(
+            lambda c: jax.lax.fori_loop(
+                0, n, lambda i, cc: step(cc), c))
+        jax.block_until_ready(f(c0))
+        best = float("inf")
+        for _ in range(2):
+            t = time.perf_counter()
+            jax.block_until_ready(f(c0))
+            best = min(best, time.perf_counter() - t)
+        return best * 1e3
+
+    n_hi = min(N, 64)
+    n_lo = max(n_hi // 4, 1)
+    hi, lo = chain(carry0, n_hi), chain(carry0, n_lo)
+    # two trip counts difference out the program launch floor
+    print(f"{'chained real steps (threaded)':<34} "
+          f"{(hi - lo) / (n_hi - n_lo):8.3f} ms")
 
 
 if __name__ == "__main__":
