@@ -64,7 +64,7 @@ def run_extra_regimes():
     if os.environ.get("GRAPHITE_TPU_BENCH_EXTRAS", "1") == "0":
         return {}
     out = {}
-    for mode, budget_s in (("venice-quick", 2400), ("pose", 1800)):
+    for mode, budget_s in (("venice-quick", 3600), ("pose", 1800)):
         log(f"--- extra regime: {mode} (subprocess) ---")
         try:
             r = subprocess.run(
@@ -102,6 +102,36 @@ def measure_floor(jax, jnp):
     for _ in range(3):
         t = time.perf_counter()
         jax.block_until_ready(f())
+        best = min(best, time.perf_counter() - t)
+    return best * 1e3
+
+
+def null_floor_ms(jax, jnp, problem, *args):
+    """Fixed per-call cost of a program with THIS argument set (ms).
+
+    The trivial-program floor (measure_floor) understates the fixed cost
+    of probes whose arguments are GB-scale: the axon tunnel's per-call
+    argument/result marshaling grows with the argument set (measured at
+    Venice-Final: ~4 s fixed on the LM program vs ~40 ms trivial floor —
+    tools/step_bisect.py chained-probe cross-check). A null body with the
+    same arguments (reads one element of each leaf, no real work) pays
+    the same fixed cost and near-zero device time; subtracting ITS wall
+    de-biases the stage numbers at small STAGE_N."""
+    def fn(*a):
+        def body(i, acc):
+            out = jax.lax.optimization_barrier((acc, *a))
+            leaves = [x for t in out[1:] for x in jax.tree_util.tree_leaves(t)]
+            z = sum(jnp.asarray(x).reshape(-1)[0].astype(jnp.float32) * 1e-30
+                    for x in leaves[:4])
+            return out[0] + z
+        return jax.lax.fori_loop(0, STAGE_N, body, jnp.float32(0))
+
+    f = problem.jit_with_consts(fn)
+    jax.block_until_ready(f(*args))
+    best = float("inf")
+    for _ in range(2):
+        t = time.perf_counter()
+        jax.block_until_ready(f(*args))
         best = min(best, time.perf_counter() - t)
     return best * 1e3
 
@@ -319,18 +349,20 @@ def main(extras=None):
     accept_rate = res.accepted_steps / max(res.iterations, 1)
 
     # Marginal device iteration rate (round 5): the wall-clock of one
-    # levenberg_marquardt call includes a fixed per-program cost (~25-40 ms
-    # host dispatch + axon tunnel RPC — tools/step_bisect.py attribution),
-    # which at Ladybug scale is ~30% of the 20-iteration program's wall.
-    # Timing a second, half-length program and differencing cancels that
-    # floor exactly: (wall_full - wall_half) / (iters_full - iters_half)
-    # is the marginal cost of one more REAL LM iteration (same trajectory
-    # prefix, same while_loop program shape). Reported alongside — the
-    # headline `value` stays the full-program wall rate for r1-r4
-    # continuity. Venice-scale programs skip this (a second multi-minute
-    # compile for a <0.5% floor share).
+    # levenberg_marquardt call includes a fixed per-program cost — host
+    # dispatch + axon tunnel RPC + result-handle marshaling — measured at
+    # ~25-40 ms for small programs and ~4 s (!) for Venice-scale programs
+    # with GB-scale carries (tools/step_bisect.py chained-probe
+    # attribution: a full threaded Venice LM step is ~590 ms on device vs
+    # 1052 ms/iter wall rate). Timing a second, half-length program and
+    # differencing cancels that fixed cost exactly:
+    # (wall_full - wall_half) / (iters_full - iters_half) is the marginal
+    # cost of one more REAL LM iteration (same trajectory prefix, same
+    # while_loop program shape). Reported alongside — the headline `value`
+    # stays the full-program wall rate for r1-r4 continuity.
+    # GRAPHITE_TPU_BENCH_NO_MARGINAL=1 skips (one fewer big compile).
     per_iter_device = None
-    if not BIG and not QUICK:
+    if not os.environ.get("GRAPHITE_TPU_BENCH_NO_MARGINAL"):
         half = dataclasses_replace_iters(opts, ITERATIONS // 2)
         res_h = levenberg_marquardt(problem, solver, options=half)  # compile
         best_h = float("inf")
@@ -360,6 +392,9 @@ def main(extras=None):
             "unit": "iter/s",
             "vs_baseline": None,
             "per_iter_ms": round(1e3 / iters_per_sec, 2),
+            **({"per_iter_ms_device": round(per_iter_device * 1e3, 3),
+                "iters_per_sec_device": round(1.0 / per_iter_device, 2)}
+               if per_iter_device else {}),
             "time_to_1e6_rel_final_cost_s": time_to_1e6,
             "accept_rate": round(accept_rate, 2),
             "chi2_final": float(f"{res.chi2:.6g}"),
@@ -519,9 +554,24 @@ def main(extras=None):
         if ss.dim_p <= 12_000:
             probes.append(("s_matvec_dense_incl_build", dense_matvec_body,
                            None, None, (sv0, b_s0)))
+    null_floors = {}  # per-argument-set fixed cost (BIG: dominates floor)
     for name, body, flops, bytes_floor, args in probes:
         try:
-            ms, xla_bytes = stage_ms(jax, jnp, problem, body, floor_ms,
+            fl = floor_ms
+            if BIG:
+                akey = tuple(id(a) for a in args)
+                if akey not in null_floors:
+                    try:
+                        null_floors[akey] = null_floor_ms(
+                            jax, jnp, problem, *args)
+                        log(f"null floor for {name} args: "
+                            f"{null_floors[akey]:.1f} ms")
+                    except Exception as e:  # noqa: BLE001
+                        log(f"null floor FAILED ({type(e).__name__}); "
+                            f"using trivial floor")
+                        null_floors[akey] = floor_ms
+                fl = max(floor_ms, null_floors[akey])
+            ms, xla_bytes = stage_ms(jax, jnp, problem, body, fl,
                                      *args)
         except Exception as e:  # noqa: BLE001 - stage probes are best-effort
             log(f"stage {name:<16} FAILED: {type(e).__name__}")
