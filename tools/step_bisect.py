@@ -164,7 +164,7 @@ def main():
         probe("accept path (no cond)", p_accept_path, carry0)
     if want("full"):
         probe("full step (cond)", p_full_step, carry0)
-    if not want("chain"):
+    if ONLY is not None and not any(t.startswith("chain") for t in ONLY):
         return
 
     # 6. N REAL chained steps: the carry THREADS through (serial
@@ -185,11 +185,17 @@ def main():
             best = min(best, time.perf_counter() - t)
         return best * 1e3
 
-    n_hi = min(N, 64)
-    n_lo = max(n_hi // 4, 1)
+    # window override: a probe-list entry "chain=LO,HI" measures the
+    # marginal cost of trajectory steps LO+1..HI (e.g. chain=6,8 at
+    # venice-big lands on consecutive ACCEPTED steps — the expensive
+    # iteration kind; see BENCHMARKS round-5 bimodal analysis)
+    n_hi, n_lo = min(N, 64), max(min(N, 64) // 4, 1)
+    for tag in (ONLY or []):
+        if tag.startswith("chain="):
+            n_lo, n_hi = (int(x) for x in tag[6:].split(","))
     hi, lo = chain(carry0, n_hi), chain(carry0, n_lo)
     # two trip counts difference out the program launch floor
-    print(f"{'chained real steps (threaded)':<34} "
+    print(f"chained real steps ({n_lo}->{n_hi})        "
           f"{(hi - lo) / (n_hi - n_lo):8.3f} ms")
 
 
