@@ -185,14 +185,14 @@ def main():
             best = min(best, time.perf_counter() - t)
         return best * 1e3
 
-    # window override: a probe-list entry "chain=LO,HI" measures the
-    # marginal cost of trajectory steps LO+1..HI (e.g. chain=6,8 at
+    # window override: a probe-list entry "chain=LO:HI" measures the
+    # marginal cost of trajectory steps LO+1..HI (e.g. chain=6:8 at
     # venice-big lands on consecutive ACCEPTED steps — the expensive
     # iteration kind; see BENCHMARKS round-5 bimodal analysis)
     n_hi, n_lo = min(N, 64), max(min(N, 64) // 4, 1)
     for tag in (ONLY or []):
         if tag.startswith("chain="):
-            n_lo, n_hi = (int(x) for x in tag[6:].split(","))
+            n_lo, n_hi = (int(x) for x in tag[6:].split(":"))
     hi, lo = chain(carry0, n_hi), chain(carry0, n_lo)
     # two trip counts difference out the program launch floor
     print(f"chained real steps ({n_lo}->{n_hi})        "
