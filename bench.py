@@ -393,7 +393,13 @@ def main(extras=None):
             "vs_baseline": None,
             "per_iter_ms": round(1e3 / iters_per_sec, 2),
             **({"per_iter_ms_device": round(per_iter_device * 1e3, 3),
-                "iters_per_sec_device": round(1.0 / per_iter_device, 2)}
+                "iters_per_sec_device": round(1.0 / per_iter_device, 2),
+                # the marginal window is the run's BACK half; at Venice
+                # scale iterations are bimodal (accept ~1.37 s / reject
+                # ~0.59 s, BENCHMARKS.md round 5) so an accept-heavy tail
+                # can exceed the run-average wall rate
+                "per_iter_device_window":
+                    f"iters {ITERATIONS // 2 + 1}-{ITERATIONS}"}
                if per_iter_device else {}),
             "time_to_1e6_rel_final_cost_s": time_to_1e6,
             "accept_rate": round(accept_rate, 2),
@@ -631,7 +637,9 @@ def main(extras=None):
         "vs_baseline": round(iters_per_sec / BASELINE_ITERS_PER_SEC, 3),
         "per_iter_ms": round(1e3 / iters_per_sec, 2),
         **({"per_iter_ms_device": round(per_iter_device * 1e3, 3),
-            "iters_per_sec_device": round(1.0 / per_iter_device, 1)}
+            "iters_per_sec_device": round(1.0 / per_iter_device, 1),
+            "per_iter_device_window":
+                f"iters {ITERATIONS // 2 + 1}-{ITERATIONS}"}
            if per_iter_device else {}),
         "time_to_1e6_rel_final_cost_s": time_to_1e6,
         "useful_mflop_per_iter": round(per_iter_flops / 1e6, 1),
@@ -645,6 +653,7 @@ def main(extras=None):
         payload["scale_regimes"] = {
             k: {f: v.get(f) for f in
                 ("metric", "value", "unit", "per_iter_ms",
+                 "per_iter_ms_device", "iters_per_sec_device",
                  "time_to_1e6_rel_final_cost_s", "accept_rate",
                  "chi2_final")}
             for k, v in extras.items()
